@@ -1,0 +1,77 @@
+"""The three-layer null model, vectorized over Arrow arrays.
+
+Reference semantics (utils/find_missing_values.py):
+
+- *missing*  = true NA or empty/whitespace-only string; textual tokens like
+  "NA"/"none"/"nan" are NOT missing (:18-34, compute_missing_mask).
+- *normalize* = missing cells plus the textual null-like tokens
+  none/None/nan/NaN/NAN/N/A/n/a are rewritten to the sentinel "NA"
+  (:4, :7-15, :37-56).
+- at check time, FillNull ∪ {"NA"} is always valid (utils/validate_core.py:228-229).
+
+All kernels are pure ``pyarrow.compute`` — zero Python per row.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from crn_meta_validate_ray.registry import NULL_LIKE_TOKENS, NULL_SENTINEL
+
+_BLANK_RE = r"^\s*$"
+_NULL_LIKE_ARR = pa.array(list(NULL_LIKE_TOKENS), type=pa.string())
+
+
+def _as_string(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return arr
+    return pc.cast(arr, pa.string())
+
+
+def missing_mask(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Boolean mask: True where the cell is missing (true-null or
+    blank/whitespace-only). Mirrors compute_missing_mask
+    (utils/find_missing_values.py:18-34)."""
+    s = _as_string(arr)
+    blank = pc.match_substring_regex(s, _BLANK_RE)
+    return pc.or_kleene(pc.is_null(s), pc.fill_null(blank, False))
+
+
+def normalize_null_like(arr: pa.ChunkedArray | pa.Array,
+                        sentinel: str = NULL_SENTINEL) -> pa.ChunkedArray | pa.Array:
+    """Rewrite missing cells and null-like tokens to ``sentinel``; returns a
+    non-null string array. Mirrors normalize_null_like_series
+    (utils/find_missing_values.py:37-56)."""
+    s = _as_string(arr)
+    sent = pa.scalar(sentinel, type=pa.string())
+    out = pc.if_else(missing_mask(s), sent, s)
+    null_like = pc.is_in(out, value_set=_NULL_LIKE_ARR)
+    return pc.if_else(null_like, sent, out)
+
+
+def normalize_table(table: pa.Table, columns: list[str] | None = None,
+                    sentinel: str = NULL_SENTINEL) -> pa.Table:
+    """Null-normalize string columns of an Arrow table in place-ish
+    (mirrors normalize_null_like_dataframe, utils/find_missing_values.py:59-70).
+
+    Only string-typed columns are rewritten; typed columns keep their native
+    nulls (the validator treats native nulls as the sentinel at check time).
+    """
+    names = columns if columns is not None else table.column_names
+    for name in names:
+        if name not in table.column_names:
+            continue
+        col = table[name]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            idx = table.column_names.index(name)
+            table = table.set_column(idx, name, normalize_null_like(col, sentinel))
+    return table
+
+
+def table_has_missing_values(table: pa.Table) -> bool:
+    """Any missing cell anywhere (mirrors utils/find_missing_values.py:73-84)."""
+    for name in table.column_names:
+        if bool(pc.any(missing_mask(table[name])).as_py()):
+            return True
+    return False

@@ -1,0 +1,118 @@
+"""Flagship pipeline: full transcript-corpus validation.
+
+Composes every engine stage over a Parquet transcript corpus
+(``turns(conv_id, turn_idx, role, text, tool, ts)`` + ``conversations``):
+
+1. per-cell constraint pass (stateless ``map_batches`` over the full width);
+2. stateful sketch stage (actor pool; HLL uniqueness, count-min vocab freq);
+3. salted group checks (sequence contiguity, exact duplicates, ts-gap /
+   group-size drift digests) over a **pruned narrow read** of
+   (conv_id, turn_idx, ts) — the wide ``text`` column never enters the
+   shuffle;
+4. referential anti-join of turns.conv_id against conversations
+   (broadcast when the header table is small, distinct-key shuffle
+   otherwise);
+5. single findings stream → verdicts + ReportCollector-parity report.
+
+The reference's analogue is the five-step Streamlit flow (app.py:121-1086)
+collapsed to its headless core (utils/validate_core.py:488-531) — see
+SURVEY §3.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from crn_meta_validate_ray.registry import (
+    ConstraintSet,
+    TableRules,
+    conversation_rules,
+    transcript_rules,
+)
+from crn_meta_validate_ray.stages.groupcheck import group_check_findings
+from crn_meta_validate_ray.stages.refcheck import referential_findings
+from crn_meta_validate_ray.stages.sketch import SketchStage
+from crn_meta_validate_ray.pipelines.validate_pipeline import (
+    ValidationRun,
+    validate_dataset,
+)
+
+
+def sketch_findings(ds: "rd.Dataset", rules: TableRules, *,
+                    concurrency=(1, 4), batch_size: int = 16384):
+    """Actor-pool sketch stage over the locator + enum columns only."""
+    hll_keys = [u.columns for u in rules.unique] or (
+        [rules.locator] if rules.locator else [])
+    cm_cols = [r.field for r in rules.active_fields()
+               if r.datatype == "Enum" and not r.allow_multi]
+    needed = sorted({c for k in hll_keys for c in k} | set(cm_cols))
+    if not needed:
+        return None
+    narrow = ds.select_columns([c for c in needed
+                                if c in (ds.schema().names or [])])
+    return narrow.map_batches(
+        SketchStage,
+        fn_constructor_args=(rules.table,),
+        fn_constructor_kwargs={"hll_keys": hll_keys, "cm_columns": cm_cols},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True)
+
+
+def validate_transcripts(
+    turns_path: str | list[str],
+    conversations_path: str | None = None,
+    *,
+    rules: TableRules | None = None,
+    conv_rules: TableRules | None = None,
+    mode: str = "collect",
+    out_dir: str | None = None,
+    batch_size: int = 8192,
+    salt_every: int = 65536,
+    sketches: bool = True,
+    ref_mode: str = "auto",
+) -> ValidationRun:
+    """Validate a transcript corpus end-to-end; returns the turns-table
+    ValidationRun (conversations are validated as the referential target)."""
+    rules = rules or transcript_rules()
+    conv_rules_ = conv_rules or conversation_rules()
+
+    # full-width read for per-cell checks; *separate pruned reads* for the
+    # narrow distributed stages so the shuffle never carries `text`
+    turns_full = rd.read_parquet(turns_path)
+    narrow_cols = sorted({c for s in rules.sequences
+                          for c in (s.group_col, s.index_col)}
+                         | {c for u in rules.unique for c in u.columns}
+                         | {d.column for d in rules.drift if d.column}
+                         | {d.group_col for d in rules.drift if d.group_col})
+    available = set(turns_full.schema().names)
+    narrow_cols = [c for c in narrow_cols if c in available]
+    turns_narrow = rd.read_parquet(turns_path, columns=narrow_cols) \
+        if narrow_cols else None
+
+    extra = []
+    if turns_narrow is not None:
+        gc = group_check_findings(turns_narrow, rules, salt_every=salt_every)
+        if gc is not None:
+            extra.append(gc)
+    if sketches:
+        sk = sketch_findings(turns_full, rules)
+        if sk is not None:
+            extra.append(sk)
+    if conversations_path and rules.references:
+        ref_col = rules.references[0]
+        convs = rd.read_parquet(conversations_path,
+                                columns=[ref_col.target_column])
+        # include the locator so broadcast mode can emit per-row violations
+        fk_cols = sorted({ref_col.column} | set(rules.locator) & available)
+        fk = rd.read_parquet(turns_path, columns=fk_cols)
+        rf = referential_findings(fk, rules, {ref_col.target_table: convs},
+                                  mode=ref_mode)
+        if rf is not None:
+            extra.append(rf)
+
+    return validate_dataset(turns_full, rules, mode=mode, out_dir=out_dir,
+                            batch_size=batch_size, extra_findings=extra)
+
+
+def default_constraint_set() -> ConstraintSet:
+    return ConstraintSet().add(transcript_rules()).add(conversation_rules())

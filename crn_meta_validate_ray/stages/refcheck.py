@@ -1,0 +1,167 @@
+"""Referential-integrity check (J5 in SURVEY §2.4): every value of the
+foreign-key column must resolve to a row of the target table.
+
+Two execution strategies, chosen by target size:
+
+- **broadcast** (small target): the distinct target keys are collected once,
+  put in the object store with ``ray.put``, and every validation task reads
+  the same shared copy in a vectorized ``is_in`` filter — no shuffle, and
+  per-ROW violations (every orphan turn is reported).
+- **shuffle** (both sides large): both sides are deduped batch-locally to
+  distinct keys, tagged with a source marker, unioned, and hash-partitioned
+  with ``groupby(key)``; groups containing no target row are orphan KEYS
+  (anti-join survivors).  Violations are per distinct orphan key — the
+  bounded representation at 10^12 rows.
+
+The reference validates tables independently and has no cross-table check
+(SURVEY §2.4 J5); this is a north-star engine extension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from crn_meta_validate_ray.registry import RefRule, TableRules
+from crn_meta_validate_ray.stages.validate import FINDINGS_SCHEMA, make_locator_keys
+
+BROADCAST_MAX_KEYS = 2_000_000
+
+
+def _violation_table(table: str, rule: RefRule, values, row_keys, sort_keys
+                     ) -> pa.Table:
+    n = len(values)
+    if n == 0:
+        return FINDINGS_SCHEMA.empty_table()
+    nulls = pa.nulls(n, pa.int64())
+    null_lists = pa.nulls(n, pa.list_(pa.string()))
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.repeat("violation", n)),
+            pa.array(np.repeat(table, n)),
+            pa.array(np.repeat(rule.column, n)),
+            pa.array(np.repeat(rule.constraint_id, n)),
+            pa.array(np.repeat(rule.severity, n)),
+            pa.array(values, type=pa.string()),
+            pa.array(row_keys, type=pa.string()),
+            pa.array(sort_keys, type=pa.string()),
+            nulls, nulls, nulls, null_lists, null_lists,
+            pa.nulls(n, pa.bool_()),
+        ],
+        schema=FINDINGS_SCHEMA,
+    )
+
+
+class _BroadcastAntiJoin:
+    """Actor-pool stage: fetch the broadcast key set once per actor
+    (``ray.get`` in ``__init__``), then vectorized anti-membership filter
+    per batch."""
+
+    def __init__(self, table: str, rule: RefRule, locator: tuple, keys_ref):
+        self.table = table
+        self.rule = rule
+        self.locator = locator
+        keys = ray.get(keys_ref) if not isinstance(keys_ref, pa.Array) else keys_ref
+        self.keys = keys  # pa.Array of distinct target keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = pc.cast(batch[self.rule.column], pa.string())
+        ok = pc.is_in(col, value_set=self.keys)
+        bad = np.nonzero(~np.asarray(pc.fill_null(ok, False).combine_chunks()))[0]
+        if bad.size == 0:
+            return FINDINGS_SCHEMA.empty_table()
+        row_key, sort_key = make_locator_keys(batch, self.locator)
+        take = pa.array(bad)
+        return _violation_table(
+            self.table, self.rule,
+            pc.take(col.combine_chunks(), take),
+            pc.take(row_key, take), pc.take(sort_key, take))
+
+
+def referential_findings(
+    ds: "rd.Dataset",
+    rules: TableRules,
+    targets: dict[str, "rd.Dataset"],
+    *,
+    broadcast_max_keys: int = BROADCAST_MAX_KEYS,
+    mode: str = "auto",
+) -> "rd.Dataset | None":
+    """Evaluate every RefRule of ``rules``; returns a FINDINGS dataset or
+    None.  ``targets`` maps target table name -> Dataset."""
+    outs = []
+    for rule in rules.references:
+        target = targets.get(rule.target_table)
+        if target is None:
+            continue
+        tkeys = target.select_columns([rule.target_column])
+        use_broadcast = mode == "broadcast"
+        if mode == "auto":
+            use_broadcast = target.count() <= broadcast_max_keys
+        if use_broadcast:
+            distinct = pc.unique(
+                pa.concat_arrays([
+                    pa.concat_arrays(
+                        pc.cast(b[rule.target_column], pa.string()).chunks or
+                        [pa.array([], type=pa.string())])
+                    for b in tkeys.iter_batches(batch_size=1 << 20,
+                                                batch_format="pyarrow")
+                ] or [pa.array([], type=pa.string())]))
+            keys_ref = ray.put(distinct)
+            out = ds.map_batches(
+                _BroadcastAntiJoin,
+                fn_constructor_args=(rules.table, rule, rules.locator, keys_ref),
+                batch_format="pyarrow", concurrency=(1, 8),
+                zero_copy_batch=True)
+        else:
+            out = _shuffle_anti_join(ds, rules, rule, tkeys)
+        outs.append(out)
+    if not outs:
+        return None
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.union(o)
+    return result
+
+
+def _shuffle_anti_join(ds, rules: TableRules, rule: RefRule, tkeys):
+    """Distinct-key shuffle anti-join: batch-local dedupe → tag → union →
+    groupby(key) → survivors without a target marker."""
+
+    def left_keys(t: pa.Table) -> pa.Table:
+        k = pc.unique(pc.cast(t[rule.column], pa.string()).combine_chunks())
+        return pa.table({"__key": k,
+                         "__src": pa.array(np.zeros(len(k), dtype=np.int8))})
+
+    def right_keys(t: pa.Table) -> pa.Table:
+        k = pc.unique(pc.cast(t[rule.target_column], pa.string())
+                      .combine_chunks())
+        return pa.table({"__key": k,
+                         "__src": pa.array(np.ones(len(k), dtype=np.int8))})
+
+    left = ds.select_columns([rule.column]).map_batches(
+        left_keys, batch_format="pyarrow", zero_copy_batch=True)
+    right = tkeys.map_batches(right_keys, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tagged = left.union(right)
+
+    table_name, cid, sev, col = (rules.table, rule.constraint_id,
+                                 rule.severity, rule.column)
+
+    def survivors(g) -> pa.Table:
+        import pandas as pd
+        if (g["__src"] == 1).any() or g.empty:
+            return FINDINGS_SCHEMA.empty_table()
+        key = str(g["__key"].iloc[0])
+        return pa.Table.from_pylist([{
+            "kind": "violation", "table": table_name, "column": col,
+            "constraint_id": cid, "severity": sev,
+            "value": key, "row_key": key, "sort_key": key,
+            "n_rows": None, "n_null": None, "n_invalid": None,
+            "invalid_values": None, "invalid_value_keys": None, "exact": None,
+        }], schema=FINDINGS_SCHEMA)
+
+    return tagged.groupby("__key").map_groups(survivors, batch_format="pandas")

@@ -1,0 +1,192 @@
+"""The per-batch validation kernel — the engine's hot path.
+
+One stateless ``map_batches`` pass over zero-copy Arrow batches evaluates
+every compiled per-column rule and emits a *findings* table per batch:
+
+- ``kind='violation'`` rows: one per invalid cell, carrying
+  ``(table, column, constraint_id, severity, value, row_key, sort_key)`` —
+  the scalable replacement for the reference's dense ``invalid_cell_mask``
+  (utils/validate_core.py:202), which only exists there to color a UI
+  preview;
+- ``kind='colstat'`` rows: one per (rule column × batch) partial aggregate
+  ``(n_rows, n_null, n_invalid, distinct invalid sample ≤ K with min sort
+  key per value, exact flag)`` — merged downstream into the reference's
+  global per-column verdicts (all-null / partial-null / distinct-failing-
+  value counts, utils/validate_core.py:232-252).
+
+Everything is vectorized (pyarrow.compute / numpy / pandas C kernels); no
+Python-per-row loops.  The compiled ConstraintSet is tiny and ships in the
+task closure; regexes and vocab arrays are prebuilt at compile time on the
+driver (reference analogue: the cached CDE registry, utils/cde.py:574-601).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from crn_meta_validate_ray.functions.checks import CompiledFieldRule, _combine
+from crn_meta_validate_ray.registry import TableRules
+
+# Findings schema — shared by the per-cell validator and the distributed
+# check stages (uniqueness / referential / sequence / drift) so all
+# violation streams union cleanly.
+FINDINGS_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),           # 'violation' | 'colstat'
+        ("table", pa.string()),
+        ("column", pa.string()),
+        ("constraint_id", pa.string()),
+        ("severity", pa.string()),       # 'error' | 'warning'
+        ("value", pa.string()),          # offending value (normalized view)
+        ("row_key", pa.string()),        # display locator, e.g. "conv_00000001|3"
+        ("sort_key", pa.string()),       # zero-padded locator for stable ordering
+        ("n_rows", pa.int64()),
+        ("n_null", pa.int64()),
+        ("n_invalid", pa.int64()),
+        ("invalid_values", pa.list_(pa.string())),
+        ("invalid_value_keys", pa.list_(pa.string())),
+        ("exact", pa.bool_()),
+    ]
+)
+
+_PAD = 20  # zero-pad width for numeric locator parts (covers int64)
+
+
+def empty_findings() -> pa.Table:
+    return FINDINGS_SCHEMA.empty_table()
+
+
+def make_locator_keys(batch: pa.Table, locator: tuple) -> tuple[pa.Array, pa.Array]:
+    """Build (row_key, sort_key) string arrays from the locator columns.
+
+    ``row_key`` is the human-readable joined locator; ``sort_key`` zero-pads
+    numeric parts so lexicographic order == numeric order, giving the
+    deterministic "first occurrence" ordering used for distinct-failing-value
+    reporting (SURVEY §2 A2)."""
+    if not locator or any(c not in batch.column_names for c in locator):
+        n = batch.num_rows
+        idx = pa.array(np.arange(n), type=pa.int64())
+        s = pc.cast(idx, pa.string())
+        return s, _combine(pc.utf8_lpad(s, _PAD, "0"))
+    raws, pads = [], []
+    for c in locator:
+        col = batch[c]
+        s = pc.cast(col, pa.string())
+        s = pc.fill_null(s, "")
+        raws.append(s)
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            pads.append(pc.utf8_lpad(s, _PAD, "0"))
+        else:
+            pads.append(s)
+    sep = pa.scalar("|", type=pa.string())
+    if len(raws) == 1:
+        return _combine(raws[0]), _combine(pads[0])
+    row_key = pc.binary_join_element_wise(*raws, sep)
+    sort_key = pc.binary_join_element_wise(*pads, sep)
+    return _combine(row_key), _combine(sort_key)
+
+
+class BatchValidator:
+    """Callable used with ``ds.map_batches(BatchValidator(rules), ...)``.
+
+    Stateless w.r.t. data; holds only the compiled rule kernels.  Used as a
+    plain function object so Ray schedules it as cheap stateless tasks; the
+    compile step runs once on the driver (pickled kernels are small —
+    regex patterns and vocab arrays)."""
+
+    def __init__(self, table_rules: TableRules, sample_k: int = 1000,
+                 emit_violations: bool = True):
+        self.table = table_rules.table
+        self.locator = table_rules.locator
+        self.sample_k = sample_k
+        self.emit_violations = emit_violations
+        self.rules = [r for r in table_rules.active_fields()]
+        self.compiled = {r.field: CompiledFieldRule(r) for r in self.rules}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return empty_findings()
+        row_key, sort_key = make_locator_keys(batch, self.locator)
+        np_sort_key = np.asarray(sort_key).astype(object)
+
+        out_cols: dict[str, list] = {name: [] for name in FINDINGS_SCHEMA.names}
+
+        def emit(kind, column, cid, severity, value=None, rk=None, sk=None,
+                 n_rows=None, n_null=None, n_invalid=None,
+                 inv_vals=None, inv_keys=None, exact=None, count=1):
+            out_cols["kind"].append(np.repeat(kind, count))
+            out_cols["table"].append(np.repeat(self.table, count))
+            out_cols["column"].append(np.repeat(column, count))
+            out_cols["constraint_id"].append(np.repeat(cid, count))
+            out_cols["severity"].append(np.repeat(severity, count))
+            out_cols["value"].append(
+                value if value is not None else np.repeat(None, count))
+            out_cols["row_key"].append(
+                rk if rk is not None else np.repeat(None, count))
+            out_cols["sort_key"].append(
+                sk if sk is not None else np.repeat(None, count))
+            out_cols["n_rows"].append(np.repeat(n_rows, count))
+            out_cols["n_null"].append(np.repeat(n_null, count))
+            out_cols["n_invalid"].append(np.repeat(n_invalid, count))
+            out_cols["invalid_values"].append([inv_vals] * count)
+            out_cols["invalid_value_keys"].append([inv_keys] * count)
+            out_cols["exact"].append(np.repeat(exact, count))
+
+        for rule in self.rules:
+            col_name = rule.field
+            if col_name not in batch.column_names:
+                continue  # missing columns are a schema-level (driver) verdict
+            kernel = self.compiled[col_name]
+            valid, strvals, n_null = kernel.check(batch[col_name])
+            invalid_idx = np.nonzero(~valid)[0]
+            n_invalid = int(invalid_idx.size)
+            severity = "error" if rule.is_required else "warning"
+
+            inv_vals_list: list = []
+            inv_keys_list: list = []
+            exact = True
+            if n_invalid:
+                if strvals is not None:
+                    vals = pc.take(strvals, pa.array(invalid_idx)).to_pylist()
+                else:
+                    vals = pc.cast(
+                        pc.take(_combine(batch[col_name]), pa.array(invalid_idx)),
+                        pa.string()).to_pylist()
+                keys = np_sort_key[invalid_idx]
+                if self.emit_violations:
+                    emit("violation", col_name, rule.constraint_id, severity,
+                         value=vals,
+                         rk=np.asarray(row_key).astype(object)[invalid_idx],
+                         sk=keys, count=n_invalid)
+                # distinct sample with min sort key per value
+                ser = pd.Series(keys, index=pd.Index(vals, name="v"), name="k")
+                firsts = ser.groupby(level=0, sort=False).min().sort_values()
+                if len(firsts) > self.sample_k:
+                    firsts = firsts.iloc[: self.sample_k]
+                    exact = False
+                inv_vals_list = [str(v) for v in firsts.index.tolist()]
+                inv_keys_list = [str(k) for k in firsts.tolist()]
+
+            emit("colstat", col_name, rule.constraint_id, severity,
+                 n_rows=n, n_null=n_null, n_invalid=n_invalid,
+                 inv_vals=inv_vals_list, inv_keys=inv_keys_list, exact=exact)
+
+        arrays = []
+        for fld in FINDINGS_SCHEMA:
+            chunks = out_cols[fld.name]
+            if not chunks:
+                arrays.append(pa.array([], type=fld.type))
+                continue
+            if fld.name in ("invalid_values", "invalid_value_keys"):
+                flat: list = []
+                for ch in chunks:
+                    flat.extend(ch)
+                arrays.append(pa.array(flat, type=fld.type))
+            else:
+                flat = np.concatenate([np.asarray(c, dtype=object) for c in chunks])
+                arrays.append(pa.array(flat, type=fld.type))
+        return pa.Table.from_arrays(arrays, schema=FINDINGS_SCHEMA)

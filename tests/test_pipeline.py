@@ -1,0 +1,241 @@
+"""End-to-end pipeline tests over the synthetic corpus: violation
+archetypes V1-V15 (FIXTURES.md) and oracle parity."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from crn_meta_validate_ray.oracle import (
+    oracle_group_checks,
+    oracle_normalize,
+    oracle_report,
+    oracle_violation_rows,
+)
+from crn_meta_validate_ray.registry import (
+    FieldRule,
+    TableRules,
+    transcript_rules,
+)
+from crn_meta_validate_ray.sources.synth import CorpusSpec, make_corpus, write_corpus
+from crn_meta_validate_ray.pipelines.transcripts import validate_transcripts
+from crn_meta_validate_ray.pipelines.validate_pipeline import validate_dataset
+from crn_meta_validate_ray.stages.normalize import normalize_stage, write_sanitized
+
+ALL_INJECT = ("V1", "V2", "V4", "V5", "V10", "V11", "V12", "V14")
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    out = tmp_path_factory.mktemp("corpus")
+    spec = CorpusSpec(n_convs=60, inject=ALL_INJECT, mega_conv_turns=300)
+    info = write_corpus(spec, str(out), files=3)
+    info["spec"] = spec
+    return info
+
+
+@pytest.fixture(scope="module")
+def run(corpus):
+    return validate_transcripts(corpus["turns_dir"], corpus["conversations"])
+
+
+def test_archetype_verdicts(corpus, run):
+    exp = corpus["expected"]
+    counts = run.extras["violation_counts"]
+    assert counts["enum:role"] == len(exp["V1_role_rows"])          # V1
+    assert counts["enum:tool"] == len(exp["V2_tool_rows"])          # V2
+    assert counts["regex:conv_id"] > 0                              # V4
+    assert counts["unique:conv_id,turn_idx"] == len(exp["V10_dup_rows"])
+    assert counts["seq:turn_idx@conv_id"] >= len(exp["V11_gap_convs"])
+    assert counts["ref:conv_id->conversations.conv_id"] > 0         # V12
+    assert run.errors > 0 and not run.passed
+
+
+def test_violation_rows_match_expected_locators(corpus, run):
+    exp = corpus["expected"]
+    rows = run.violations.take_all()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["constraint_id"], set()).add(r["row_key"])
+    assert by_cid["enum:role"] == {f"{c}|{i}" for c, i in exp["V1_role_rows"]}
+    assert by_cid["enum:tool"] == {f"{c}|{i}" for c, i in exp["V2_tool_rows"]}
+    assert by_cid["unique:conv_id,turn_idx"] == \
+        {f"{c}|{i}" for c, i in exp["V10_dup_rows"]}
+    # every orphan-turn violation points at a dropped conversation
+    orphan_convs = {rk.split("|")[0] for rk
+                    in by_cid["ref:conv_id->conversations.conv_id"]}
+    assert orphan_convs == set(exp["V12_orphan_convs"])
+
+
+def test_cell_violations_equal_oracle(corpus, run):
+    rules = transcript_rules()
+    turns = rd.read_parquet(corpus["turns_dir"]).to_pandas()
+    norm = oracle_normalize(turns)
+    want = oracle_violation_rows(norm, rules)
+    got = {(r["column"], r["constraint_id"], r["row_key"], r["value"])
+           for r in run.violations.take_all()
+           if r["constraint_id"].split(":")[0] in
+           ("regex", "enum", "integer", "string", "timestamp", "float")}
+    assert got == want
+
+
+def test_group_checks_equal_oracle(corpus, run):
+    rules = transcript_rules()
+    turns = rd.read_parquet(corpus["turns_dir"]).to_pandas()
+    want = oracle_group_checks(turns, rules)
+    rows = run.violations.take_all()
+    got_seq = sorted(r["row_key"] for r in rows
+                     if r["constraint_id"] == "seq:turn_idx@conv_id")
+    got_dup = sorted(r["row_key"] for r in rows
+                     if r["constraint_id"] == "unique:conv_id,turn_idx")
+    assert got_seq == want["seq:turn_idx@conv_id"]
+    assert got_dup == want["unique:conv_id,turn_idx"]
+
+
+def test_report_counters_match_oracle_for_cell_rules(corpus):
+    """Engine per-cell verdict == single-process oracle verdict (the
+    distributed extensions are excluded on both sides)."""
+    rules = transcript_rules()
+    cellonly = TableRules(table=rules.table, fields=rules.fields,
+                          locator=rules.locator)
+    turns_pd = rd.read_parquet(corpus["turns_dir"]).to_pandas()
+    want = oracle_report(turns_pd, cellonly)
+
+    got = validate_transcripts(corpus["turns_dir"], None, rules=cellonly,
+                               sketches=False)
+    assert (got.errors, got.warnings) == (want["errors"], want["warnings"])
+    w, g = want["result"], got.eval_result
+    assert g.null_columns == w.null_columns
+    assert g.invalid_required == w.invalid_required
+    assert g.invalid_optional == w.invalid_optional
+    # distinct-failing-value counts per column match
+    got_counts = {e[1]: e[2] for e in g.invalid_entries}
+    want_counts = {e[1]: e[2] for e in w.invalid_entries}
+    assert got_counts == want_counts
+    # failing-value *sets* match (engine orders by locator, oracle by
+    # first occurrence — sets must be equal)
+    got_vals = {e[1]: set(e[4].split(", ")) for e in g.invalid_entries}
+    want_vals = {e[1]: set(e[4].split(", ")) for e in w.invalid_entries}
+    assert got_vals == want_vals
+
+
+def test_per_turn_text_equality_under_stable_ordering(corpus, ray_session):
+    """north_star: per-turn `text` equality under stable (conv_id, turn_idx)
+    ordering between the engine's normalized output and the oracle."""
+    def stable_sort(df):
+        # oracle_normalize stringifies every column (reference semantics) —
+        # sort both sides on a numeric turn_idx so ordering is comparable
+        df = df.assign(__ti=pd.to_numeric(df["turn_idx"]))
+        return (df.sort_values(["conv_id", "__ti"], kind="stable")
+                .drop(columns="__ti").reset_index(drop=True))
+
+    ds = rd.read_parquet(corpus["turns_dir"])
+    engine = stable_sort(normalize_stage(ds).to_pandas())
+    oracle = stable_sort(
+        oracle_normalize(rd.read_parquet(corpus["turns_dir"]).to_pandas()))
+    assert engine["text"].astype(str).tolist() == \
+        oracle["text"].astype(str).tolist()
+
+
+def _mini_rules():
+    return TableRules(
+        table="mini",
+        locator=("pk",),
+        fields=[
+            FieldRule("pk", "Required", "Integer"),
+            FieldRule("req_enum", "Required", "Enum", ["a", "b"],
+                      fillnull=["NA"]),
+            FieldRule("opt_str", "Optional", "String"),
+            FieldRule("req_missing_col", "Required", "String"),
+            FieldRule("opt_missing_col", "Optional", "String"),
+        ],
+    )
+
+
+def test_missing_and_extra_columns_V7_V8(ray_session):
+    t = pa.table({"pk": [1, 2], "req_enum": ["a", "b"],
+                  "opt_str": ["x", None], "not_in_registry": ["u", "v"]})
+    run = validate_dataset(rd.from_arrow(t), _mini_rules())
+    r = run.eval_result
+    assert r.missing_required == ["req_missing_col"]        # V7 → error
+    assert r.missing_optional == ["opt_missing_col"]
+    assert r.extra_columns == ["not_in_registry"]           # V8 → warning
+    assert run.errors == 1
+
+
+def test_all_null_is_global_not_per_partition_V6(ray_session):
+    """A column all-null in one block but not globally must be partial-null
+    (two-phase aggregation; reference utils/validate_core.py:232-236)."""
+    t1 = pa.table({"pk": [1, 2], "req_enum": ["NA", "NA"],
+                   "opt_str": ["x", "y"], "req_missing_col": ["ok", "ok"],
+                   "opt_missing_col": ["z", "z"]})
+    t2 = pa.table({"pk": [3], "req_enum": ["a"], "opt_str": ["x"],
+                   "req_missing_col": ["ok"], "opt_missing_col": ["z"]})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2)).repartition(2)
+    run = validate_dataset(ds, _mini_rules(), batch_size=2)
+    r = run.eval_result
+    assert r.all_null_required == []
+    assert ("REQUIRED", "req_enum", 2) in r.null_columns
+    # and globally-all-null IS an error
+    t3 = pa.table({"pk": [1], "req_enum": ["NA"], "opt_str": ["x"],
+                   "req_missing_col": ["ok"], "opt_missing_col": ["z"]})
+    run2 = validate_dataset(rd.from_arrow(t3), _mini_rules())
+    assert run2.eval_result.all_null_required == ["req_enum"]
+
+
+def test_empty_partition_V9(ray_session, tmp_path):
+    spec = CorpusSpec(n_convs=5, inject=())
+    turns, convs, _ = make_corpus(spec)
+    p = tmp_path / "turns"
+    p.mkdir()
+    pq.write_table(turns, str(p / "a.parquet"))
+    pq.write_table(turns.schema.empty_table(), str(p / "empty.parquet"))
+    pq.write_table(convs, str(tmp_path / "conversations.parquet"))
+    run = validate_transcripts(str(p), str(tmp_path / "conversations.parquet"))
+    assert run.n_rows == turns.num_rows  # empty file contributes nothing
+    assert run.passed
+
+
+def test_clean_corpus_passes_V15(ray_session, tmp_path):
+    spec = CorpusSpec(n_convs=40, inject=())
+    info = write_corpus(spec, str(tmp_path), files=2)
+    run = validate_transcripts(info["turns_dir"], info["conversations"])
+    assert run.passed and run.errors == 0
+    assert run.violations.count() == 0
+    # success lines never reach the text log
+    assert "✅" not in run.report.get_log()
+    # sanitized write gated on verdict
+    assert write_sanitized(rd.read_parquet(info["turns_dir"]),
+                           transcript_rules(), str(tmp_path / "sanitized"),
+                           run.errors)
+    out = rd.read_parquet(str(tmp_path / "sanitized"))
+    assert out.count() == run.n_rows
+
+
+def test_string_typed_corpus_with_V3(ray_session, tmp_path):
+    """String-staged variant (reference CSV world): non-integer turn_idx
+    strings are Integer-rule violations."""
+    spec = CorpusSpec(n_convs=20, inject=("V3",), string_typed=True)
+    turns, convs, exp = make_corpus(spec)
+    pq.write_table(turns, str(tmp_path / "turns.parquet"))
+    rules = transcript_rules()
+    cellonly = TableRules(table=rules.table, fields=rules.fields,
+                          locator=rules.locator)
+    run = validate_dataset(rd.read_parquet(str(tmp_path / "turns.parquet")),
+                           cellonly)
+    bad = {r["value"] for r in run.violations.take_all()
+           if r["constraint_id"] == "integer:turn_idx"}
+    # "3.5","three","x9" invalid; "2.0","1e1"," 4 " valid per pandas
+    # to_numeric semantics (reference utils/validate_core.py:240-241)
+    want_bad = {v for v in exp["V3_turn_idx_values"]
+                if v in ("3.5", "three", "x9")}
+    assert bad == want_bad
+
+    # oracle agrees on the full string-typed table
+    want = oracle_violation_rows(
+        oracle_normalize(turns.to_pandas()), cellonly)
+    got = {(r["column"], r["constraint_id"], r["row_key"], r["value"])
+           for r in run.violations.take_all()}
+    assert got == want
