@@ -1,0 +1,230 @@
+"""Resumable partitioned validation run.
+
+Layout of one run directory:
+
+```
+out_dir/
+  manifests/<partition>.json      # committed lineage + metrics + sketches
+  manifests/_groupcheck.json      # cross-partition phase manifest
+  partitions/<partition>/findings/  # violation + colstat parquet (hive by kind)
+  groupcheck/findings/            # group/ref-phase violation parquet
+  report.txt                      # final merged report (reference text format)
+  summary.json                    # verdict row + metrics
+```
+
+Phases:
+
+1. **per-partition** (embarrassingly parallel unit of resume): each input
+   Parquet file is a partition; the per-cell constraint pass + sketch stage
+   run on just that file and commit a manifest.  On restart, partitions with
+   a committed manifest whose (input files, constraint hash) lineage matches
+   are skipped without reading their data.
+2. **cross-partition group phase**: sequence / uniqueness / referential
+   checks need rows co-located by conv_id, which may span partition files —
+   this phase runs once over the full input (narrow columns only) and
+   commits its own manifest.  With a conversation-aligned hive layout
+   (hash(conv_id) % P) this phase could also run per partition; the general
+   layout cannot assume that, so it is one resumable unit.
+3. **merge**: per-partition colstats / counts / sketches are folded (the
+   two-phase all-null semantics, utils/validate_core.py:232-236) and the
+   global report is composed — reading only manifests, never data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray.data as rd
+
+from crn_meta_validate_ray.registry import ConstraintSet, TableRules
+from crn_meta_validate_ray.report import ReportCollector, compose_validation_report
+from crn_meta_validate_ray.stages.groupcheck import group_check_findings
+from crn_meta_validate_ray.stages.refcheck import referential_findings
+from crn_meta_validate_ray.pipelines.transcripts import sketch_findings
+from crn_meta_validate_ray.pipelines.validate_pipeline import (
+    ValidationRun,
+    build_eval_result,
+    extension_summaries,
+    merge_colstats_driver,
+    merge_sketches_driver,
+    validate_dataset,
+    violation_counts,
+)
+from crn_meta_validate_ray.state.checkpoint import (
+    ManifestStore,
+    colstats_from_json,
+    colstats_to_json,
+    sketches_from_json,
+    sketches_to_json,
+)
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet"))
+
+
+def run_resumable(
+    turns_path: str,
+    conversations_path: str | None,
+    out_dir: str,
+    rules: TableRules,
+    *,
+    batch_size: int = 8192,
+    salt_every: int = 65536,
+    max_partitions: int | None = None,
+) -> ValidationRun | None:
+    """Execute (or resume) a partitioned validation run.  Returns the merged
+    ValidationRun, or None when ``max_partitions`` stopped the run early
+    (simulating a kill)."""
+    files = _list_parquet_files(turns_path)
+    cs_hash = ConstraintSet().add(rules).content_hash()
+    store = ManifestStore(os.path.join(out_dir, "manifests"))
+
+    # only the per-cell field rules run in phase 1
+    cell_rules = TableRules(table=rules.table, fields=rules.fields,
+                            locator=rules.locator,
+                            null_rates=rules.null_rates)
+
+    done = 0
+    for f in files:
+        pid = os.path.splitext(os.path.basename(f))[0]
+        if store.is_valid(pid, [f], cs_hash):
+            continue
+        if max_partitions is not None and done >= max_partitions:
+            return None
+        part_dir = os.path.join(out_dir, "partitions", pid)
+        ds = rd.read_parquet(f)
+        extra = []
+        sk = sketch_findings(ds, rules)
+        if sk is not None:
+            extra.append(sk)
+        run = validate_dataset(ds, cell_rules, mode="write", out_dir=part_dir,
+                               batch_size=batch_size, extra_findings=extra,
+                               include_details=False)
+        store.commit(pid, {
+            "input_files": sorted([f]),
+            "input_bytes": os.path.getsize(f),
+            "constraint_hash": cs_hash,
+            "n_rows": run.n_rows,
+            "schema_names": list(ds.schema().names),
+            "colstats": colstats_to_json(run.colstats),
+            "violation_counts": run.extras["violation_counts"],
+            "sketches": sketches_to_json(run.extras["sketches"]),
+            "findings_path": run.findings_path,
+        })
+        done += 1
+
+    # ---- phase 2: cross-partition group / referential checks ----
+    gpid = "_groupcheck"
+    if not store.is_valid(gpid, files, cs_hash):
+        if max_partitions is not None and done >= max_partitions:
+            return None
+        gc_dir = os.path.join(out_dir, "groupcheck")
+        findings = []
+        group_rules = TableRules(table=rules.table, fields=[],
+                                 locator=rules.locator, unique=rules.unique,
+                                 sequences=rules.sequences, drift=rules.drift)
+        narrow_cols = sorted({c for s in rules.sequences
+                              for c in (s.group_col, s.index_col)}
+                             | {c for u in rules.unique for c in u.columns}
+                             | {d.column for d in rules.drift if d.column})
+        if narrow_cols:
+            narrow = rd.read_parquet(files, columns=narrow_cols)
+            gc = group_check_findings(narrow, group_rules,
+                                      salt_every=salt_every)
+            if gc is not None:
+                findings.append(gc)
+        if conversations_path and rules.references:
+            ref = rules.references[0]
+            fk_cols = sorted({ref.column} | set(rules.locator))
+            fk = rd.read_parquet(files, columns=fk_cols)
+            convs = rd.read_parquet(conversations_path,
+                                    columns=[ref.target_column])
+            rf = referential_findings(fk, rules,
+                                      {ref.target_table: convs})
+            if rf is not None:
+                findings.append(rf)
+        counts: dict = {}
+        sketches_json: dict = {}
+        if findings:
+            merged = findings[0]
+            for f2 in findings[1:]:
+                merged = merged.union(f2)
+            fp = os.path.join(gc_dir, "findings")
+            import shutil
+            shutil.rmtree(fp + ".tmp", ignore_errors=True)
+            merged.write_parquet(fp + ".tmp", partition_cols=["kind"])
+            shutil.rmtree(fp, ignore_errors=True)
+            os.replace(fp + ".tmp", fp)
+            all_f = rd.read_parquet(fp)
+            counts = violation_counts(all_f.filter(expr="kind == 'violation'"))
+            sketches_json = sketches_to_json(merge_sketches_driver(
+                all_f.filter(expr="kind == 'sketch'")))
+        store.commit(gpid, {
+            "input_files": sorted(files),
+            "constraint_hash": cs_hash,
+            "violation_counts": counts,
+            "sketches": sketches_json,
+        })
+
+    return merge_run(out_dir, rules)
+
+
+def merge_run(out_dir: str, rules: TableRules) -> ValidationRun:
+    """Compose the global verdict purely from committed manifests."""
+    store = ManifestStore(os.path.join(out_dir, "manifests"))
+    colstats: dict = {}
+    counts: dict = {}
+    sketches: dict = {}
+    schema_names: set = set()
+    n_rows = 0
+    for m in store.all_manifests():
+        for col, cs in colstats_from_json(m.get("colstats", {})).items():
+            if col in colstats:
+                tgt = colstats[col]
+                tgt.n_rows += cs.n_rows
+                tgt.n_null += cs.n_null
+                tgt.n_invalid += cs.n_invalid
+                tgt.exact = tgt.exact and cs.exact
+                for v, k in cs.distinct_invalid.items():
+                    prev = tgt.distinct_invalid.get(v)
+                    if prev is None or k < prev:
+                        tgt.distinct_invalid[v] = k
+            else:
+                colstats[col] = cs
+        for cid, c in (m.get("violation_counts") or {}).items():
+            counts[cid] = counts.get(cid, 0) + int(c)
+        for k, sk in sketches_from_json(m.get("sketches", {})).items():
+            if k in sketches:
+                sketches[k].merge(sk)
+            else:
+                sketches[k] = sk
+        schema_names.update(m.get("schema_names", []))
+        n_rows += int(m.get("n_rows", 0))
+
+    result = build_eval_result(rules, sorted(schema_names), colstats, n_rows)
+    ext_err, ext_warn, extras = extension_summaries(rules, counts, sketches,
+                                                    n_rows)
+    result.extension_errors.extend(ext_err)
+    result.extension_warnings.extend(ext_warn)
+    report = ReportCollector()
+    errors, warnings = compose_validation_report(result, rules.table, report)
+    run = ValidationRun(table=rules.table, eval_result=result, errors=errors,
+                        warnings=warnings, report=report, colstats=colstats,
+                        n_rows=n_rows,
+                        extras={"sketches": sketches,
+                                "violation_counts": counts, **extras})
+    report_path = os.path.join(out_dir, "report.txt")
+    with open(report_path + ".tmp", "w") as f:
+        f.write(report.get_log())
+    os.replace(report_path + ".tmp", report_path)
+    with open(os.path.join(out_dir, "summary.json.tmp"), "w") as f:
+        json.dump({**run.verdict_row(), "violation_counts": counts}, f)
+    os.replace(os.path.join(out_dir, "summary.json.tmp"),
+               os.path.join(out_dir, "summary.json"))
+    return run

@@ -366,7 +366,14 @@ def validate_dataset(
         if not out_dir:
             raise ValueError("mode='write' requires out_dir")
         findings_path = os.path.join(out_dir, "findings")
-        findings.write_parquet(findings_path, partition_cols=["kind"])
+        # write to a fresh temp dir then swap — a retried/rewritten partition
+        # must not append to (and double-count) a previous attempt's files
+        import shutil
+        tmp_path = findings_path + ".tmp"
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        findings.write_parquet(tmp_path, partition_cols=["kind"])
+        shutil.rmtree(findings_path, ignore_errors=True)
+        os.replace(tmp_path, findings_path)
         all_findings = rd.read_parquet(findings_path)
     else:
         all_findings = findings.materialize()

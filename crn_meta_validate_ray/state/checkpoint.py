@@ -1,0 +1,127 @@
+"""Per-partition checkpoint manifests (north_rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+
+A manifest records everything needed to (a) skip the partition on resume and
+(b) reconstruct the partition's contribution to the global verdict without
+re-reading its data:
+
+- lineage: input files (+sizes), constraint-set hash, engine version;
+- metrics: per-column aggregates (n_rows / n_null / n_invalid / bounded
+  distinct-invalid sample), violation counts per constraint;
+- sketch state: base64 partial sketches (HLL / count-min / t-digest);
+- commit marker: manifests are written to a temp path and atomically
+  renamed — a killed run leaves either a complete manifest or none.
+
+The reference's closest analogue is Streamlit session-state caching with
+file-signature invalidation (app.py:556-572); here lineage is explicit and
+durable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from crn_meta_validate_ray.pipelines.validate_pipeline import ColStat
+
+
+def colstats_to_json(colstats: dict) -> dict:
+    return {
+        col: {
+            "constraint_id": cs.constraint_id,
+            "severity": cs.severity,
+            "n_rows": cs.n_rows,
+            "n_null": cs.n_null,
+            "n_invalid": cs.n_invalid,
+            "distinct_invalid": cs.distinct_invalid,
+            "exact": cs.exact,
+        }
+        for col, cs in colstats.items()
+    }
+
+
+def colstats_from_json(raw: dict) -> dict:
+    out = {}
+    for col, d in raw.items():
+        cs = ColStat(column=col, constraint_id=d["constraint_id"],
+                     severity=d["severity"])
+        cs.n_rows = d["n_rows"]
+        cs.n_null = d["n_null"]
+        cs.n_invalid = d["n_invalid"]
+        cs.distinct_invalid = dict(d["distinct_invalid"])
+        cs.exact = d["exact"]
+        out[col] = cs
+    return out
+
+
+def sketches_to_json(sketches: dict) -> dict:
+    import base64
+    return {k: base64.b64encode(v.to_bytes()).decode("ascii")
+            for k, v in sketches.items()}
+
+
+def sketches_from_json(raw: dict) -> dict:
+    import base64
+
+    from crn_meta_validate_ray.state.sketches import (CountMin, HyperLogLog,
+                                                      TDigest)
+    out = {}
+    for k, payload in raw.items():
+        data = base64.b64decode(payload)
+        if k.startswith("hll:"):
+            out[k] = HyperLogLog.from_bytes(data)
+        elif k.startswith("cm:"):
+            out[k] = CountMin.from_bytes(data)
+        else:
+            out[k] = TDigest.from_bytes(data)
+    return out
+
+
+class ManifestStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, partition_id: str) -> str:
+        return os.path.join(self.root, f"{partition_id}.json")
+
+    def load(self, partition_id: str) -> dict | None:
+        p = self.path(partition_id)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a torn/unreadable manifest is treated as absent → recompute
+            return None
+
+    def is_valid(self, partition_id: str, input_files: list[str],
+                 constraint_hash: str) -> bool:
+        """Resume-skip predicate: a committed manifest with matching lineage."""
+        m = self.load(partition_id)
+        if m is None:
+            return False
+        return (m.get("constraint_hash") == constraint_hash
+                and m.get("input_files") == sorted(input_files)
+                and m.get("committed", False))
+
+    def commit(self, partition_id: str, payload: dict):
+        payload = dict(payload)
+        payload["partition_id"] = partition_id
+        payload["committed"] = True
+        payload["committed_at"] = time.time()
+        tmp = self.path(partition_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self.path(partition_id))
+
+    def all_manifests(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if name.endswith(".json"):
+                m = self.load(name[:-5])
+                if m is not None:
+                    out.append(m)
+        return out

@@ -1,0 +1,89 @@
+"""Kill-and-resume semantics of the partitioned run (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics")."""
+
+import json
+import os
+
+import pytest
+
+from crn_meta_validate_ray.registry import transcript_rules
+from crn_meta_validate_ray.sources.synth import CorpusSpec, write_corpus
+from crn_meta_validate_ray.pipelines.resumable import merge_run, run_resumable
+from crn_meta_validate_ray.pipelines.transcripts import validate_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    out = tmp_path_factory.mktemp("resume_corpus")
+    spec = CorpusSpec(n_convs=50,
+                      inject=("V1", "V10", "V11", "V12"))
+    return write_corpus(spec, str(out), files=4)
+
+
+def _mtimes(mdir):
+    return {f: os.path.getmtime(os.path.join(mdir, f))
+            for f in os.listdir(mdir) if f.endswith(".json")}
+
+
+def test_kill_and_resume(corpus, tmp_path):
+    out = str(tmp_path / "run")
+    rules = transcript_rules()
+
+    # "killed" run: only 2 partitions complete
+    got = run_resumable(corpus["turns_dir"], corpus["conversations"], out,
+                        rules, max_partitions=2)
+    assert got is None
+    mdir = os.path.join(out, "manifests")
+    assert len(_mtimes(mdir)) == 2
+    before = _mtimes(mdir)
+
+    # resumed run completes the remaining partitions + group phase
+    run = run_resumable(corpus["turns_dir"], corpus["conversations"], out,
+                        rules)
+    assert run is not None and not run.passed
+    after = _mtimes(mdir)
+    # committed partitions were NOT recomputed
+    for f, t in before.items():
+        assert after[f] == t
+    assert len(after) == 4 + 1  # 4 partitions + _groupcheck
+
+    # merged verdict matches a fresh single-pass run
+    fresh = validate_transcripts(corpus["turns_dir"], corpus["conversations"])
+    assert (run.errors, run.warnings) == (fresh.errors, fresh.warnings)
+    assert run.extras["violation_counts"] == fresh.extras["violation_counts"]
+    assert run.n_rows == fresh.n_rows
+
+    # report + summary artifacts exist and agree
+    with open(os.path.join(out, "summary.json")) as f:
+        summary = json.load(f)
+    assert summary["errors"] == run.errors
+    assert os.path.exists(os.path.join(out, "report.txt"))
+
+    # merge_run alone (no recompute) reproduces the same verdict
+    again = merge_run(out, rules)
+    assert (again.errors, again.warnings) == (run.errors, run.warnings)
+
+
+def test_constraint_change_invalidates_manifests(corpus, tmp_path):
+    out = str(tmp_path / "run2")
+    rules = transcript_rules()
+    run_resumable(corpus["turns_dir"], corpus["conversations"], out, rules)
+    before = _mtimes(os.path.join(out, "manifests"))
+
+    # same rules → all partitions skipped (mtimes unchanged)
+    run_resumable(corpus["turns_dir"], corpus["conversations"], out, rules)
+    assert _mtimes(os.path.join(out, "manifests")) == before
+
+    # changed registry → lineage mismatch → recompute
+    import copy
+    from crn_meta_validate_ray.registry import FieldRule
+    rules2 = copy.deepcopy(rules)
+    rules2.fields[2] = FieldRule("role", "Required", "Enum",
+                                ["system", "user", "assistant"],
+                                fillnull=["NA"])
+    run2 = run_resumable(corpus["turns_dir"], corpus["conversations"], out,
+                         rules2)
+    after = _mtimes(os.path.join(out, "manifests"))
+    assert all(after[f] > before[f] for f in before)
+    # stricter enum now flags 'tool' roles too
+    assert run2.extras["violation_counts"]["enum:role"] > 0
