@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship validation pipeline against sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY §2; ``oracle_sql()`` pairs each SQL-expressible query with DuckDB
+SQL over the same parquet views.  Ray is initialised by the driver before
+this module is imported — nothing here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +12,238 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from crn_meta_validate_ray.pipelines import queries as q
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full constraint-suite validation of sf0.001 lineitem
+    (cell rules + uniqueness + sequence contiguity + referential check
+    against orders), returning the structured violation rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from crn_meta_validate_ray.registry import (FieldRule, RefRule, SeqRule,
+                                                TableRules, UniqueRule)
+    from crn_meta_validate_ray.stages.groupcheck import group_check_findings
+    from crn_meta_validate_ray.stages.refcheck import referential_findings
+    from crn_meta_validate_ray.pipelines.validate_pipeline import validate_dataset
+
+    rules = TableRules(
+        table="lineitem",
+        locator=("l_orderkey", "l_linenumber"),
+        fields=[
+            FieldRule("l_orderkey", "Required", "Integer"),
+            FieldRule("l_linenumber", "Required", "Integer"),
+            FieldRule("l_quantity", "Required", "Float"),
+            FieldRule("l_returnflag", "Required", "Enum", ["A", "N", "R"]),
+            FieldRule("l_linestatus", "Required", "Enum", ["O", "F"]),
+            FieldRule("l_shipdate", "Required", "Timestamp"),
+        ],
+        unique=[UniqueRule(("l_orderkey", "l_linenumber"))],
+        sequences=[SeqRule("l_orderkey", "l_linenumber", start=1)],
+        references=[RefRule("l_orderkey", "orders", "o_orderkey")],
+    )
+    li = rd.read_parquet(f"{SF0001}/lineitem.parquet")
+    narrow = rd.read_parquet(f"{SF0001}/lineitem.parquet",
+                             columns=["l_orderkey", "l_linenumber"])
+    orders = rd.read_parquet(f"{SF0001}/orders.parquet",
+                             columns=["o_orderkey"])
+    extra = [group_check_findings(narrow, rules, salt_every=4096)]
+    rf = referential_findings(narrow, rules, {"orders": orders})
+    if rf is not None:
+        extra.append(rf)
+    run = validate_dataset(li, rules, extra_findings=extra)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"constraint_id": t["constraint_id"],
+                         "column": t["column"],
+                         "row_key": t["row_key"],
+                         "value": pc.cast(t["value"], pa.string())})
+
+    return run.violations.map_batches(project, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # validation-engine operators (SURVEY §2.2/2.4/2.5/2.7)
+        "null_census_documents": q.null_census_documents,
+        "enum_violations_events": q.enum_violations_events,
+        "regex_violations_customer": q.regex_violations_customer,
+        "integer_violations_lineitem": q.integer_violations_lineitem,
+        "sequence_stats_lineitem": q.sequence_stats_lineitem,
+        "sequence_violations_lineitem": q.sequence_violations_lineitem,
+        "unique_violations_lineitem": q.unique_violations_lineitem,
+        "ref_orphans_orders": q.ref_orphans_orders,
+        # relational / aggregation (SURVEY §2.5/2.6)
+        "pricing_summary": q.pricing_summary,
+        "top_orders": q.top_orders,
+        "rowcounts": q.rowcounts,
+        # text analysis / dedup (training-data ops)
+        "exact_dedup_documents": q.exact_dedup_documents,
+        "token_stats_documents": q.token_stats_documents,
+        "fingerprint_documents": q.fingerprint_documents,
+        "quality_documents": q.quality_documents,
+        "langid_documents": q.langid_documents,
+        "minhash_pairs_documents": q.minhash_pairs_documents,
+        "simhash_pairs_documents": q.simhash_pairs_documents,
+        # similarity search
+        "knn_embeddings": q.knn_embeddings,
+        "near_dup_embeddings": q.near_dup_embeddings,
+        # windowed / stream-shaped
+        "tumbling_events": q.tumbling_events,
+        "sessions_events": q.sessions_events,
+        # flagship transcript engine (non-SQL: full constraint suite)
+        "transcript_violations": q.transcript_violations,
+        "transcript_verdict": q.transcript_verdict,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_alt = "|".join(
+        ["the", "and", "of", "a", "to", "in", "is", "that", "it", "for"])
+    return {
+        "null_census_documents": r"""
+            WITH cols(column_name) AS (VALUES ('text'), ('lang'), ('source'))
+            SELECT 'text' AS "column",
+                   count(*) FILTER (WHERE text IS NULL
+                                    OR regexp_matches(text, '^\s*$')) AS n_missing,
+                   count(*) AS n_rows FROM documents
+            UNION ALL
+            SELECT 'lang', count(*) FILTER (WHERE lang IS NULL
+                                    OR regexp_matches(lang, '^\s*$')),
+                   count(*) FROM documents
+            UNION ALL
+            SELECT 'source', count(*) FILTER (WHERE source IS NULL
+                                    OR regexp_matches(source, '^\s*$')),
+                   count(*) FROM documents
+        """,
+        "enum_violations_events": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type IS NULL
+               OR event_type NOT IN ('click', 'view', 'purchase')
+        """,
+        "regex_violations_customer": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT regexp_full_match(c_name, 'Customer#0000000[0-9]{2}')
+        """,
+        "integer_violations_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE round(l_quantity) <> l_quantity
+        """,
+        "sequence_stats_lineitem": """
+            SELECT l_orderkey,
+                   count(*) AS n_items,
+                   min(l_linenumber)::BIGINT AS min_ln,
+                   max(l_linenumber)::BIGINT AS max_ln,
+                   (min(l_linenumber) = 1
+                    AND count(*) = max(l_linenumber)) AS is_contiguous
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "sequence_violations_lineitem": """
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING NOT (min(l_linenumber) = 1
+                        AND count(DISTINCT l_linenumber) = max(l_linenumber))
+        """,
+        "unique_violations_lineitem": """
+            SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+        """,
+        "ref_orphans_orders": """
+            SELECT DISTINCT o.o_custkey FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "rowcounts": """
+            SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+            UNION ALL SELECT 'nation', count(*) FROM nation
+            UNION ALL SELECT 'customer', count(*) FROM customer
+            UNION ALL SELECT 'supplier', count(*) FROM supplier
+            UNION ALL SELECT 'part', count(*) FROM part
+            UNION ALL SELECT 'orders', count(*) FROM orders
+            UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+            UNION ALL SELECT 'events', count(*) FROM events
+            UNION ALL SELECT 'documents', count(*) FROM documents
+            UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        """,
+        "exact_dedup_documents": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_stats_documents": rf"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_extract_all(text, '\b(?:{stop_alt})\b'))
+                       AS n_stopwords
+            FROM documents
+        """,
+        "fingerprint_documents": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "tumbling_events": """
+            SELECT event_type,
+                   -- floor, not ::BIGINT (DuckDB casts round-to-nearest)
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                       AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, window_start
+        """,
+        "sessions_events": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_session) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "knn_embeddings": """
+            WITH q AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_idx,
+                       embedding
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 3)
+            ), scored AS (
+                SELECT q.query_idx, e.vec_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS s
+                FROM q CROSS JOIN embeddings e
+            ), ranked AS (
+                SELECT query_idx, vec_id,
+                       row_number() OVER (PARTITION BY query_idx
+                                          ORDER BY s DESC, vec_id) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_idx, rank, vec_id FROM ranked WHERE rank < 5
+        """,
+        "near_dup_embeddings": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        # langid / quality scoring / minhash / simhash / transcript engine:
+        # heuristic or sketch-based — intentionally no SQL oracle
+        # (driver records the rows-only check)
+    }

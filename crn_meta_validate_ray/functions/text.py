@@ -1,0 +1,149 @@
+"""Text-analysis kernels for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting,
+shingling.  All operate on whole Arrow/pandas batches; the per-batch cost is
+vectorized regex / numpy work (compiled once at import or stage init).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# whitespace tokens and a BPE-ish segmentation (letters | digits | other)
+TOKEN_RE = r"\S+"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "that", "it", "for")
+_STOP_RE = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+# tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic (public-knowledge function words)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to", "that", "with"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que"),
+    "es": ("el", "los", "las", "es", "una", "que", "para"),
+}
+_CJK_RE = r"[一-鿿]"
+
+
+def token_count(text: pa.ChunkedArray | pa.Array, pattern: str = TOKEN_RE
+                ) -> pa.Array:
+    return pc.count_substring_regex(pc.fill_null(text, ""), pattern)
+
+
+def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_chars/n_tokens/punct_ratio/stopword_ratio/mean_token_len and
+    a composite quality score in [0,1]."""
+    text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_punct = pc.count_substring_regex(text, PUNCT_RE)
+    n_stop = pc.count_substring_regex(text, _STOP_RE)
+
+    nc = np.asarray(pc.cast(n_chars, pa.float64()).combine_chunks()
+                    if isinstance(n_chars, pa.ChunkedArray) else
+                    pc.cast(n_chars, pa.float64()))
+    nt = np.asarray(pc.cast(n_tokens, pa.float64()).combine_chunks()
+                    if isinstance(n_tokens, pa.ChunkedArray) else
+                    pc.cast(n_tokens, pa.float64()))
+    npt = np.asarray(pc.cast(n_punct, pa.float64()).combine_chunks()
+                     if isinstance(n_punct, pa.ChunkedArray) else
+                     pc.cast(n_punct, pa.float64()))
+    ns = np.asarray(pc.cast(n_stop, pa.float64()).combine_chunks()
+                    if isinstance(n_stop, pa.ChunkedArray) else
+                    pc.cast(n_stop, pa.float64()))
+
+    punct_ratio = np.divide(npt, np.maximum(nc, 1))
+    stop_ratio = np.divide(ns, np.maximum(nt, 1))
+    mean_tok = np.divide(nc, np.maximum(nt, 1))
+    # heuristic composite: long enough, some stopwords, sane punctuation,
+    # word lengths in a natural band
+    score = (
+        np.clip(nt / 50.0, 0, 1) * 0.3
+        + np.clip(stop_ratio / 0.4, 0, 1) * 0.3
+        + (1 - np.clip(punct_ratio / 0.2, 0, 1)) * 0.2
+        + np.exp(-0.5 * ((mean_tok - 5.0) / 3.0) ** 2) * 0.2
+    )
+    out = batch
+    for name, arr in (("n_chars", nc.astype(np.int64)),
+                      ("n_tokens", nt.astype(np.int64)),
+                      ("punct_ratio", punct_ratio),
+                      ("stopword_ratio", stop_ratio),
+                      ("quality_score", score)):
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def langid_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append `lang_pred`: argmax of per-language marker-word hit rates,
+    with a CJK-character override → 'zh'; 'und' when nothing matches."""
+    text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    n = batch.num_rows
+    scores = np.zeros((len(LANG_MARKERS), n), dtype=np.float64)
+    langs = list(LANG_MARKERS)
+    for i, lang in enumerate(langs):
+        pat = r"(?i)\b(?:" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        hits = pc.count_substring_regex(text, pat)
+        arr = hits.combine_chunks() if isinstance(hits, pa.ChunkedArray) else hits
+        scores[i] = np.asarray(pc.cast(arr, pa.float64()))
+    cjk = pc.count_substring_regex(text, _CJK_RE)
+    cjk_np = np.asarray(pc.cast(
+        cjk.combine_chunks() if isinstance(cjk, pa.ChunkedArray) else cjk,
+        pa.float64()))
+    best = np.argmax(scores, axis=0)
+    best_score = scores[best, np.arange(n)]
+    pred = np.array(langs, dtype=object)[best]
+    pred[best_score == 0] = "und"
+    pred[cjk_np > 0] = "zh"
+    return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+def fingerprint_md5(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "fp") -> pa.Table:
+    """Content fingerprint as hex MD5 — chosen for SQL-oracle parity
+    (DuckDB md5()).  Per-cell hashlib call; use fingerprint64 for the
+    numpy-vectorized scale path."""
+    texts = batch[text_col].to_pylist()
+    fps = [hashlib.md5(("" if t is None else t).encode("utf-8")).hexdigest()
+           for t in texts]
+    return batch.append_column(out_col, pa.array(fps, type=pa.string()))
+
+
+def fingerprint64(batch: pa.Table, text_col: str = "text",
+                  out_col: str = "fp64") -> pa.Table:
+    """Vectorized 64-bit content fingerprint (pandas hash_array — siphash
+    variant); the scale-path dedup key."""
+    texts = np.asarray(batch[text_col].to_pandas().fillna(""), dtype=object)
+    h = pd.util.hash_array(texts).astype(np.uint64)
+    return batch.append_column(out_col, pa.array(h.astype(np.int64)))
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashed k-char shingle set of one document (sorted uint64)."""
+    if len(text) < k:
+        shingles = [text] if text else []
+    else:
+        shingles = [text[i:i + k] for i in range(len(text) - k + 1)]
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    h = pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
+    return np.unique(h)
+
+
+def word_ngrams(text: str, n: int = 3) -> np.ndarray:
+    """Hashed word n-gram set of one document (sorted uint64)."""
+    toks = text.split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64)
+    return np.unique(h)

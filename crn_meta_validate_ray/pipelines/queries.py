@@ -1,0 +1,466 @@
+"""Driver-contract query implementations over the sandbox test tables
+(`/root/testdata/sf*/`), one per operator family from SURVEY §2.
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table whose column names and types exactly match the paired oracle
+SQL in ``__ray_entry__.oracle_sql`` (the driver hash-compares values after
+sorting columns by name).  Float aggregate columns are rounded on both
+sides to dodge summation-order ULP differences.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from crn_meta_validate_ray.registry import (
+    FieldRule,
+    RefRule,
+    SeqRule,
+    TableRules,
+    UniqueRule,
+)
+from crn_meta_validate_ray.functions.nulls import missing_mask
+from crn_meta_validate_ray.functions.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    langid_features,
+    quality_features,
+    token_count,
+)
+from crn_meta_validate_ray.stages.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from crn_meta_validate_ray.stages.groupcheck import group_check_findings
+from crn_meta_validate_ray.stages.refcheck import referential_findings
+from crn_meta_validate_ray.stages.similarity import (
+    embedding_near_dup_pairs,
+    knn_brute_force,
+)
+from crn_meta_validate_ray.stages.validate import BatchValidator
+from crn_meta_validate_ray.stages.window import sessionize, tumbling_aggregate
+
+EVENT_VOCAB = ["click", "view", "purchase"]  # signup/error are violations
+
+
+def collect_with_schema(ds: "rd.Dataset", schema: pa.Schema) -> pa.Table:
+    """Materialize a (small) possibly-empty result into an Arrow table with
+    an explicit schema — an empty Ray dataset otherwise loses its schema on
+    conversion, which breaks the driver's schema comparison."""
+    parts = [schema.empty_table()]
+    for b in ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        parts.append(b.select(schema.names).cast(schema))
+    return pa.concat_tables(parts)
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------- validation
+
+def null_census_documents(sf_dir: str):
+    """Per-column missing-value census (engine null model M1) over the
+    string columns of documents."""
+    cols = ["text", "lang", "source"]
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, miss, rows = [], [], []
+        for c in cols:
+            m = missing_mask(t[c])
+            names.append(c)
+            miss.append(int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0))
+            rows.append(t.num_rows)
+        return pa.table({"column": pa.array(names),
+                         "n_missing": pa.array(miss, type=pa.int64()),
+                         "n_rows": pa.array(rows, type=pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("column").aggregate(Sum("n_missing", alias_name="n_missing"),
+                                     Sum("n_rows", alias_name="n_rows"))
+    return out
+
+
+def enum_violations_events(sf_dir: str):
+    """Controlled-vocabulary violations (M5) on events.event_type."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "event_type"])
+    vocab = pa.array(EVENT_VOCAB)
+
+    def bad(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t["event_type"], value_set=vocab))
+        return t.filter(pc.fill_null(keep, True))
+
+    out = ds.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True)
+    return collect_with_schema(out, pa.schema([
+        ("event_id", pa.int64()), ("event_type", pa.string())]))
+
+
+def regex_violations_customer(sf_dir: str):
+    """Regex-constraint violations (M7) on customer.c_name against a
+    deliberately narrow pattern so violations exist."""
+    rules = TableRules(
+        table="customer", locator=("c_custkey",),
+        fields=[FieldRule("c_name", "Required", "Regex",
+                          r"Customer#0000000[0-9]{2}")])
+    ds = rd.read_parquet(_p(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+    findings = ds.map_batches(BatchValidator(rules), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "violation"))
+        return pa.table({
+            "c_custkey": pc.cast(t["row_key"], pa.int64()),
+            "c_name": t["value"],
+        })
+
+    out = findings.map_batches(project, batch_format="pyarrow")
+    return collect_with_schema(out, pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string())]))
+
+
+def integer_violations_lineitem(sf_dir: str):
+    """Integer-coercion check (M3) applied to the float l_quantity: rows
+    with a fractional quantity."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def bad(t: pa.Table) -> pa.Table:
+        frac = pc.not_equal(pc.round(t["l_quantity"]), t["l_quantity"])
+        return t.filter(pc.fill_null(frac, True))
+
+    out = ds.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True)
+    return collect_with_schema(out, pa.schema([
+        ("l_orderkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64())]))
+
+
+def sequence_stats_lineitem(sf_dir: str):
+    """Per-group sequence profile (O5/A-family): count / distinct span of
+    l_linenumber per order with the contiguity verdict (start=1)."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber"])
+    agg = ds.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_items"),
+        Min("l_linenumber", alias_name="min_ln"),
+        Max("l_linenumber", alias_name="max_ln"))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        contiguous = pc.and_(
+            pc.equal(t["min_ln"], 1),
+            pc.equal(pc.cast(t["n_items"], pa.int64()),
+                     pc.cast(t["max_ln"], pa.int64())))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "min_ln": pc.cast(t["min_ln"], pa.int64()),
+            "max_ln": pc.cast(t["max_ln"], pa.int64()),
+            "is_contiguous": contiguous,
+        })
+
+    return agg.map_batches(verdict, batch_format="pyarrow")
+
+
+def sequence_violations_lineitem(sf_dir: str):
+    """Engine group-check stage (salted shuffle) on lineitem: orders whose
+    l_linenumber set is not contiguous from 1."""
+    rules = TableRules(
+        table="lineitem", locator=("l_orderkey", "l_linenumber"),
+        sequences=[SeqRule("l_orderkey", "l_linenumber", start=1)])
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber"])
+    findings = group_check_findings(ds, rules, salt_every=4096)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "violation"))
+        return pa.table({"l_orderkey": pc.cast(t["row_key"], pa.int64())})
+
+    return findings.map_batches(project, batch_format="pyarrow")
+
+
+def unique_violations_lineitem(sf_dir: str):
+    """Duplicate-key census (D5): (l_orderkey, l_linenumber) with count>1."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber"])
+    agg = ds.groupby(["l_orderkey", "l_linenumber"]).aggregate(
+        Count(alias_name="n"))
+
+    def dups(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 1))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return agg.map_batches(dups, batch_format="pyarrow")
+
+
+def ref_orphans_orders(sf_dir: str):
+    """Referential anti-join (J5), shuffle mode: orders.o_custkey values
+    with no matching customer."""
+    rules = TableRules(
+        table="orders", locator=("o_orderkey",),
+        references=[RefRule("o_custkey", "customer", "c_custkey")])
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+    customer = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+    findings = referential_findings(orders, rules, {"customer": customer},
+                                    mode="shuffle")
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "violation"))
+        return pa.table({"o_custkey": pc.cast(t["value"], pa.int64())})
+
+    out = findings.map_batches(project, batch_format="pyarrow")
+    return collect_with_schema(out, pa.schema([("o_custkey", pa.int64())]))
+
+
+# ------------------------------------------------------------- relational
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped aggregate (A1-A3 analogue) with partial aggregation
+    semantics supplied by Ray's hash groupby."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"))
+
+    def roundcols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.round(t["sum_qty"], 2),
+            "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+            "avg_qty": pc.round(t["avg_qty"], 4),
+            "count_order": pc.cast(t["count_order"], pa.int64()),
+        })
+
+    return out.map_batches(roundcols, batch_format="pyarrow")
+
+
+def top_orders(sf_dir: str):
+    """Top-10 by totalprice with deterministic tie-break (O-family)."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+
+    def roundcols(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_totalprice": pc.round(t["o_totalprice"], 2)})
+
+    return out.map_batches(roundcols, batch_format="pyarrow")
+
+
+def rowcounts(sf_dir: str):
+    """Row-count probe per table (S4/A6)."""
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    rows = [{"table_name": t,
+             "n_rows": rd.read_parquet(_p(sf_dir, t)).count()}
+            for t in tables]
+    return pa.Table.from_pylist(rows)
+
+
+# ------------------------------------------------------------ text / dedup
+
+def exact_dedup_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    out = exact_dedup_groups(ds)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"fp": t["fp"],
+                         "keep_id": pc.cast(t["keep_id"], pa.int64()),
+                         "n_docs": pc.cast(t["n_docs()"]
+                                           if "n_docs()" in t.column_names
+                                           else t["n_docs"], pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def token_stats_documents(sf_dir: str):
+    """Token counting + quality-adjacent counts (whitespace tokens,
+    chars, stopword hits) — all SQL-replicable."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    stop_pat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(token_count(text), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_stopwords": pc.cast(
+                pc.count_substring_regex(text, stop_pat), pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprint_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: fingerprint_md5(t).drop_columns(["text"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_documents(sf_dir: str):
+    """Full quality-scoring stage (engine-only scoring formula)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: quality_features(t).drop_columns(["text"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def langid_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: langid_features(t).drop_columns(["text"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_pairs_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def simhash_pairs_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_distance=3)
+
+
+# ------------------------------------------------------------- similarity
+
+def knn_embeddings(sf_dir: str):
+    """Brute-force cosine top-5 for the first 3 embeddings as queries."""
+    import pyarrow.parquet as pq
+    head = pq.read_table(_p(sf_dir, "embeddings")).slice(0, 3)
+    queries = np.asarray(head["embedding"].combine_chunks().flatten(),
+                         dtype=np.float32).reshape(3, -1)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, queries, k=5)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_idx": pc.cast(t["query_idx"], pa.int64()),
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def near_dup_embeddings(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, threshold=0.99)
+    out = out.map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"]}),
+        batch_format="pyarrow")
+    return collect_with_schema(out, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64())]))
+
+
+# --------------------------------------------------------------- windows
+
+def tumbling_events(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+    out = tumbling_aggregate(ds, window_s=3600)
+
+    def roundcols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.round(t["sum_value"], 4),
+        })
+
+    return out.map_batches(roundcols, batch_format="pyarrow")
+
+
+def sessions_events(sf_dir: str):
+    """Session windows per user (30-min gap): session census per user."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+    sess = sessionize(ds, gap_s=1800)
+    agg = sess.groupby("user_id").aggregate(
+        Count(alias_name="n_sessions"),
+        Sum("n_events", alias_name="n_events"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+# ------------------------------------------------ transcripts (engine-native)
+
+def _transcript_corpus(sf_dir: str) -> dict:
+    from crn_meta_validate_ray.sources.synth import CorpusSpec, cached_corpus
+    sf = 0.01
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+    n_convs = max(100, int(400_000 * sf))
+    spec = CorpusSpec(
+        n_convs=n_convs, seed=42,
+        inject=("V1", "V2", "V4", "V5", "V10", "V11", "V12", "V14"),
+        mega_conv_turns=max(2000, int(n_convs * 0.5)))
+    return cached_corpus(spec, files=8)
+
+
+def transcript_violations(sf_dir: str):
+    """Flagship engine run on the deterministic synthetic transcript corpus
+    scaled to the sf of ``sf_dir``; returns the structured violation rows."""
+    from crn_meta_validate_ray.pipelines.transcripts import validate_transcripts
+    info = _transcript_corpus(sf_dir)
+    run = validate_transcripts(info["turns_dir"], info["conversations"])
+    out = run.violations
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"constraint_id": t["constraint_id"],
+                         "column": t["column"],
+                         "row_key": t["row_key"],
+                         "value": t["value"]})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def transcript_verdict(sf_dir: str):
+    """Flagship verdict row + per-constraint violation counts."""
+    from crn_meta_validate_ray.pipelines.transcripts import validate_transcripts
+    info = _transcript_corpus(sf_dir)
+    run = validate_transcripts(info["turns_dir"], info["conversations"])
+    rows = [{"metric": "errors", "value": float(run.errors)},
+            {"metric": "warnings", "value": float(run.warnings)},
+            {"metric": "n_rows", "value": float(run.n_rows)}]
+    for cid, n in sorted(run.extras["violation_counts"].items()):
+        rows.append({"metric": f"violations:{cid}", "value": float(n)})
+    return pa.Table.from_pylist(rows)

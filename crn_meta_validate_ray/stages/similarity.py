@@ -1,0 +1,202 @@
+"""Similarity search over an embedding column (``list<float>``):
+
+- **brute-force cosine top-k** — the correctness baseline: the (small)
+  query matrix is normalized once, ``ray.put`` into the object store, and
+  every batch does one numpy matmul against it; per-batch local top-k
+  partials are merged by a tiny per-query reduce;
+- **hyperplane-LSH bucketed ANN** — the scale path: random-hyperplane sign
+  buckets co-locate similar vectors, top-k runs within buckets (recall
+  traded for a shuffle of (bucket, id, vec) instead of an all-pairs scan);
+- **embedding cosine near-duplicate pairs** — all pairs with cosine ≥
+  threshold, via the same broadcast pattern (reference matrix must fit in
+  the object store; at larger scale chunk the reference side and union).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    arr = batch[vec_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+class _ScoreBatch:
+    """Actor-pool stage: fetch the broadcast query matrix once per actor."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        self.q = ray.get(queries_ref) if not isinstance(queries_ref,
+                                                        np.ndarray) \
+            else queries_ref  # (Q, D) normalized
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, self.vec_col))
+        if m.size == 0:
+            return pa.table({"query_idx": pa.array([], type=pa.int32()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        scores = m @ self.q.T  # (n, Q)
+        ids = np.asarray(batch[self.id_col].to_pandas())
+        k = min(self.k, scores.shape[0])
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, Q)
+        qi, vi, sc = [], [], []
+        for q in range(scores.shape[1]):
+            rows = top[:, q]
+            qi.extend([q] * len(rows))
+            vi.extend(ids[rows].tolist())
+            sc.extend(scores[rows, q].astype(np.float64).tolist())
+        return pa.table({"query_idx": pa.array(qi, type=pa.int32()),
+                         "vec_id": pa.array(vi, type=pa.int64()),
+                         "score": pa.array(sc, type=pa.float64())})
+
+
+def knn_brute_force(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
+                    *, id_col: str = "vec_id", vec_col: str = "embedding",
+                    concurrency=(1, 8)) -> "rd.Dataset":
+    """Exact cosine top-k: per-batch partial top-k then per-query merge.
+    Output: (query_idx, rank, vec_id, score), rank 0..k-1, ties broken by
+    vec_id for determinism."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(qn)
+    partials = ds.map_batches(
+        _ScoreBatch, fn_constructor_args=(qref, id_col, vec_col, k),
+        batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g[["query_idx", "rank", "vec_id", "score"]]
+
+    return partials.groupby("query_idx").map_groups(
+        merge, batch_format="pandas")
+
+
+class _BucketStage:
+    """Hyperplane-LSH bucketing: sign bits of ``planes @ vec``."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, "embedding")
+        signs = (m @ self.planes.T) > 0  # (n, P)
+        bucket = np.zeros(len(m), dtype=np.int64)
+        for p in range(signs.shape[1]):
+            bucket = (bucket << 1) | signs[:, p]
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def lsh_ann(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
+            *, id_col: str = "vec_id", vec_col: str = "embedding",
+            n_planes: int = 8, seed: int = 11) -> "rd.Dataset":
+    """Approximate top-k: queries are routed to their hyperplane bucket and
+    compared only against vectors in the same bucket.  Recall < 1 by
+    construction; raise recall with fewer planes or multi-probe."""
+    queries = np.asarray(queries, dtype=np.float32)
+    dim = queries.shape[1]
+    stage = _BucketStage(dim, n_planes, seed)
+    qsigns = (queries @ stage.planes.T) > 0
+    qbucket = np.zeros(len(queries), dtype=np.int64)
+    for p in range(qsigns.shape[1]):
+        qbucket = (qbucket << 1) | qsigns[:, p]
+    qn = _normalize(queries)
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(qbucket):
+        by_bucket.setdefault(int(b), []).append(qi)
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        stage, batch_format="pyarrow")
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        qis = by_bucket.get(b, [])
+        if not qis:
+            return pd.DataFrame({"query_idx": [], "rank": [], "vec_id": [],
+                                 "score": []})
+        m = _normalize(np.vstack(g[vec_col].to_numpy()).astype(np.float32))
+        ids = g[id_col].to_numpy()
+        out = {"query_idx": [], "rank": [], "vec_id": [], "score": []}
+        for qi in qis:
+            scores = m @ qn[qi]
+            order = np.lexsort((ids, -scores))[:k]
+            for r, row in enumerate(order):
+                out["query_idx"].append(qi)
+                out["rank"].append(r)
+                out["vec_id"].append(int(ids[row]))
+                out["score"].append(float(scores[row]))
+        return pd.DataFrame(out)
+
+    return bucketed.groupby("bucket").map_groups(within,
+                                                 batch_format="pandas")
+
+
+class _NearDupBatch:
+    def __init__(self, ref, ids_ref, threshold: float, vec_col: str,
+                 id_col: str):
+        self.ref = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        self.ref_ids = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) \
+            else ids_ref
+        self.threshold = threshold
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, self.vec_col))
+        ids = np.asarray(batch[self.id_col].to_pandas())
+        out = {"id_a": [], "id_b": [], "cosine": []}
+        if m.size:
+            scores = m @ self.ref.T  # (n, N)
+            hits = np.argwhere(scores >= self.threshold)
+            for i, j in hits:
+                a, b = int(ids[i]), int(self.ref_ids[j])
+                if a < b:  # dedupe (a,b)/(b,a) and self-pairs
+                    out["id_a"].append(a)
+                    out["id_b"].append(b)
+                    out["cosine"].append(float(scores[i, j]))
+        return pa.table({"id_a": pa.array(out["id_a"], type=pa.int64()),
+                         "id_b": pa.array(out["id_b"], type=pa.int64()),
+                         "cosine": pa.array(out["cosine"], type=pa.float64())})
+
+
+def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             concurrency=(1, 8)) -> "rd.Dataset":
+    """All pairs (id_a < id_b) with cosine ≥ threshold.  The reference side
+    is the whole (normalized) embedding matrix broadcast via ray.put — valid
+    while N×D×4 bytes fits in the object store; beyond that, chunk the
+    reference side and union the per-chunk pair streams."""
+    narrow = ds.select_columns([id_col, vec_col])
+    mats, ids = [], []
+    for b in narrow.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        mats.append(_matrix(b, vec_col))
+        ids.append(np.asarray(b[id_col].to_pandas()))
+    full = _normalize(np.vstack(mats)) if mats else np.zeros((0, 0), np.float32)
+    all_ids = np.concatenate(ids) if ids else np.array([], dtype=np.int64)
+    ref = ray.put(full)
+    ids_ref = ray.put(all_ids)
+    return narrow.map_batches(
+        _NearDupBatch, fn_constructor_args=(ref, ids_ref, threshold, vec_col,
+                                            id_col),
+        batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)

@@ -1,0 +1,119 @@
+"""Deduplication operators: exact, MinHash-LSH, n-gram Jaccard, SimHash."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from crn_meta_validate_ray.stages.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind distant purple mountains and rivers flow gently")
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    texts = {
+        0: BASE,
+        1: BASE,                                 # exact dup of 0
+        2: BASE.replace("purple", "orange"),     # near dup of 0
+        3: BASE,                                 # exact dup of 0
+        4: "completely different content about ray data pipelines and "
+           "arrow compute kernels for validation engines at scale",
+        5: "another unrelated document mentioning hyperloglog sketches "
+           "count min and tdigest quantiles for drift detection",
+        6: BASE.replace("dog", "cat").replace("sun", "moon"),  # near dup
+    }
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    return rd.from_arrow(t)
+
+
+def test_exact_dedup_groups(docs):
+    rows = exact_dedup_groups(docs).take_all()
+    by_keep = {r["keep_id"]: r["n_docs"] for r in rows}
+    assert by_keep[0] == 3        # docs 0,1,3 identical
+    assert by_keep[2] == 1 and by_keep[4] == 1
+    assert len(rows) == 5         # 5 distinct contents
+
+
+def test_exact_dedup_keep_first(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep_first(docs).take_all())
+    assert kept == [0, 2, 4, 5, 6]
+
+
+def test_minhash_lsh_finds_near_dups_not_distinct(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5).take_all()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0   # exact dups
+    assert (0, 2) in pairs                            # near dup
+    assert all({a, b} != {4, 5} for a, b in pairs)    # distinct stay apart
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).take_all()}
+    assert pairs[(0, 1)] == 1.0
+    # doc2 differs from doc0 by one word → 3 of the 3-gram positions change
+    toks = len(BASE.split())
+    n_grams = toks - 2
+    changed = 3
+    expect = (n_grams - changed) / (n_grams + changed)
+    assert abs(pairs[(0, 2)] - expect) < 1e-9
+
+
+def test_simhash_near_dups(ray_session):
+    # simhash needs longer docs for one edit to stay within the 4-band
+    # pigeonhole guarantee (distance <= 3): use a 5x-repeated base text
+    long_base = (BASE + " ") * 5
+    texts = {
+        0: long_base.strip(),
+        1: long_base.strip(),                              # exact dup
+        2: long_base.replace("purple", "orange", 1).strip(),  # near dup
+        3: "completely different content about ray data pipelines and "
+           "arrow compute kernels for validation engines at scale " * 5,
+    }
+    ds = rd.from_arrow(pa.table({"doc_id": list(texts),
+                                 "text": list(texts.values())}))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(ds, max_distance=3).take_all()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+
+
+def test_embedding_near_dup_and_knn(ray_session):
+    from crn_meta_validate_ray.stages.similarity import (
+        embedding_near_dup_pairs,
+        knn_brute_force,
+    )
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[7] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(20, dtype=np.int64)),
+        "embedding": pa.array(base.tolist(), type=pa.list_(pa.float32())),
+    }))
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(ds, threshold=0.99).take_all()}
+    assert (3, 7) in pairs
+
+    # brute-force top-k matches numpy ground truth
+    queries = base[[3, 11]]
+    got = knn_brute_force(ds, queries, k=5).take_all()
+    norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    scores = norm @ qn.T
+    for q in range(2):
+        order = np.lexsort((np.arange(20), -scores[:, q]))[:5]
+        want = [int(i) for i in order]
+        have = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_idx"] == q), key=lambda r: r["rank"])]
+        assert have == want

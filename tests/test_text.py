@@ -1,0 +1,66 @@
+"""Text-analysis kernels."""
+
+import pyarrow as pa
+
+from crn_meta_validate_ray.functions.text import (
+    char_shingles,
+    fingerprint64,
+    fingerprint_md5,
+    langid_features,
+    quality_features,
+    token_count,
+    word_ngrams,
+)
+
+
+def test_token_count_whitespace():
+    t = pa.array(["a b  c", "", None, " x "])
+    assert token_count(t).to_pylist() == [3, 0, 0, 1]
+
+
+def test_quality_features_shapes_and_ranges():
+    t = pa.table({"text": [
+        "The quick brown fox jumps over the lazy dog and runs to the hill",
+        "!!! ??? ### $$$",
+        "",
+    ]})
+    out = quality_features(t)
+    assert set(out.column_names) >= {"n_chars", "n_tokens", "punct_ratio",
+                                     "stopword_ratio", "quality_score"}
+    rows = out.to_pylist()
+    assert rows[0]["n_tokens"] == 14
+    assert rows[0]["quality_score"] > rows[1]["quality_score"]
+    assert 0 <= rows[2]["quality_score"] <= 1
+    assert rows[1]["punct_ratio"] > 0.5
+
+
+def test_langid_heuristic():
+    t = pa.table({"text": [
+        "the cat is on the mat and that is fine with me",
+        "der Hund und die Katze sind nicht ein Problem das ist",
+        "le chat est sur la table et les livres",
+        "el perro y los gatos es una casa que para",
+        "这是一个中文句子",
+        "zzz qqq www",
+    ]})
+    got = langid_features(t)["lang_pred"].to_pylist()
+    assert got == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_fingerprints_deterministic():
+    t = pa.table({"text": ["hello", "hello", "world", None]})
+    fp = fingerprint_md5(t)["fp"].to_pylist()
+    assert fp[0] == fp[1] != fp[2]
+    assert fp[0] == "5d41402abc4b2a76b9719d911017c592"  # md5('hello')
+    f64 = fingerprint64(t)["fp64"].to_pylist()
+    assert f64[0] == f64[1] != f64[2]
+
+
+def test_shingles_and_ngrams():
+    s1 = char_shingles("abcdefg", 5)
+    s2 = char_shingles("abcdefg", 5)
+    assert (s1 == s2).all() and len(s1) == 3
+    assert len(char_shingles("ab", 5)) == 1
+    assert len(char_shingles("", 5)) == 0
+    g = word_ngrams("a b c d", 3)
+    assert len(g) == 2

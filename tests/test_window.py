@@ -1,0 +1,55 @@
+"""Windowed / session operators over the events table shape."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from crn_meta_validate_ray.stages.window import sessionize, tumbling_aggregate
+
+
+def _events():
+    ts = pd.to_datetime([
+        "2024-01-01 00:10:00", "2024-01-01 00:20:00", "2024-01-01 01:05:00",
+        "2024-01-01 00:30:00", "2024-01-01 02:00:00", "2024-01-01 02:10:00",
+    ])
+    return pa.table({
+        "ts": pa.array(ts.values.astype("datetime64[us]")),
+        "event_type": ["click", "click", "click", "view", "view", "view"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], type=pa.int64()),
+    })
+
+
+def test_tumbling_aggregate_matches_pandas(ray_session):
+    ds = rd.from_arrow(_events())
+    got = {(r["event_type"], r["window_start"]): r
+           for r in tumbling_aggregate(ds, window_s=3600).take_all()}
+    df = _events().to_pandas()
+    df["w"] = (df["ts"].astype("int64") // 10**6 // 3600) * 3600  # µs→s
+    want = df.groupby(["event_type", "w"])["value"].agg(
+        ["count", "sum", "mean"])
+    assert len(got) == len(want)
+    for (et, w), row in want.iterrows():
+        g = got[(et, int(w))]
+        assert g["n_events"] == row["count"]
+        assert abs(g["sum_value"] - row["sum"]) < 1e-9
+        assert abs(g["mean_value"] - row["mean"]) < 1e-9
+
+
+def test_sessionize_gap_splits(ray_session):
+    ds = rd.from_arrow(_events())
+    rows = sessionize(ds, gap_s=1800).take_all()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: 00:10,00:20 then 01:05 (gap 45min > 30min) → 2 sessions
+    assert len(by_user[1]) == 2
+    s0, s1 = sorted(by_user[1], key=lambda r: r["session_idx"])
+    assert s0["n_events"] == 2 and s1["n_events"] == 1
+    assert s0["duration_s"] == 600.0
+    # user 2: 00:30 then 02:00 (gap 90min) then 02:10 → 2 sessions
+    assert len(by_user[2]) == 2
+    assert sorted(r["n_events"] for r in by_user[2]) == [1, 2]
+    assert abs(sum(r["sum_value"] for r in by_user[2]) - 15.0) < 1e-9
