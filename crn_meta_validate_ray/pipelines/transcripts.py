@@ -39,8 +39,19 @@ from crn_meta_validate_ray.pipelines.validate_pipeline import (
 
 
 def sketch_findings(ds: "rd.Dataset", rules: TableRules, *,
-                    concurrency=(1, 4), batch_size: int = 16384):
-    """Actor-pool sketch stage over the locator + enum columns only."""
+                    concurrency=None, batch_size: int = 32768):
+    """Actor-pool sketch stage over the locator + enum columns only.
+
+    The pool is sized to a fraction of the cluster so it can never reserve
+    every CPU and starve the read/validate stages (on a 2-CPU cluster a
+    fixed (2, 16) pool deadlocks the pipeline into a crawl)."""
+    if concurrency is None:
+        import ray
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        concurrency = (1, max(1, cpus // 2))
     hll_keys = [u.columns for u in rules.unique] or (
         [rules.locator] if rules.locator else [])
     cm_cols = [r.field for r in rules.active_fields()
@@ -73,45 +84,74 @@ def validate_transcripts(
 ) -> ValidationRun:
     """Validate a transcript corpus end-to-end; returns the turns-table
     ValidationRun (conversations are validated as the referential target)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
     rules = rules or transcript_rules()
     conv_rules_ = conv_rules or conversation_rules()
 
-    # full-width read for per-cell checks; *separate pruned reads* for the
-    # narrow distributed stages so the shuffle never carries `text`
+    # ONE full-width read for per-cell checks with the sketch stage and the
+    # broadcast referential check FUSED into the same map (the wide `text`
+    # column is read exactly once); a separate *pruned* read feeds the
+    # salted group-check exchange so the shuffle never carries `text`
     turns_full = rd.read_parquet(turns_path)
+    available = set(turns_full.schema().names)
     narrow_cols = sorted({c for s in rules.sequences
                           for c in (s.group_col, s.index_col)}
                          | {c for u in rules.unique for c in u.columns}
                          | {d.column for d in rules.drift if d.column}
                          | {d.group_col for d in rules.drift if d.group_col})
-    available = set(turns_full.schema().names)
     narrow_cols = [c for c in narrow_cols if c in available]
-    turns_narrow = rd.read_parquet(turns_path, columns=narrow_cols) \
-        if narrow_cols else None
 
-    extra = []
-    if turns_narrow is not None:
-        gc = group_check_findings(turns_narrow, rules, salt_every=salt_every)
-        if gc is not None:
-            extra.append(gc)
+    sketch_spec = None
     if sketches:
-        sk = sketch_findings(turns_full, rules)
-        if sk is not None:
-            extra.append(sk)
+        hll_keys = [u.columns for u in rules.unique] or (
+            [rules.locator] if rules.locator else [])
+        cm_cols = [r.field for r in rules.active_fields()
+                   if r.datatype == "Enum" and not r.allow_multi]
+        if hll_keys or cm_cols:
+            sketch_spec = (hll_keys, cm_cols)
+
+    ref_rules_keys = []
+    extra = []
     if conversations_path and rules.references:
         ref_col = rules.references[0]
         convs = rd.read_parquet(conversations_path,
                                 columns=[ref_col.target_column])
-        # include the locator so broadcast mode can emit per-row violations
-        fk_cols = sorted({ref_col.column} | set(rules.locator) & available)
-        fk = rd.read_parquet(turns_path, columns=fk_cols)
-        rf = referential_findings(fk, rules, {ref_col.target_table: convs},
-                                  mode=ref_mode)
-        if rf is not None:
-            extra.append(rf)
+        use_broadcast = ref_mode == "broadcast" or (
+            ref_mode == "auto"
+            and convs.count() <= 2_000_000)
+        if use_broadcast:
+            distinct = pc.unique(pa.concat_arrays([
+                pa.concat_arrays(
+                    pc.cast(b[ref_col.target_column], pa.string()).chunks
+                    or [pa.array([], type=pa.string())])
+                for b in convs.iter_batches(batch_size=1 << 20,
+                                            batch_format="pyarrow")
+            ] or [pa.array([], type=pa.string())]))
+            ref_rules_keys.append((ref_col, ray.put(distinct)))
+        else:
+            fk_cols = sorted({ref_col.column} | set(rules.locator) & available)
+            fk = rd.read_parquet(turns_path, columns=fk_cols)
+            rf = referential_findings(fk, rules,
+                                      {ref_col.target_table: convs},
+                                      mode="shuffle")
+            if rf is not None:
+                extra.append(rf)
+
+    if narrow_cols:
+        gc = group_check_findings(
+            rd.read_parquet(turns_path, columns=narrow_cols), rules,
+            salt_every=salt_every)
+        if gc is not None:
+            extra.append(gc)
 
     return validate_dataset(turns_full, rules, mode=mode, out_dir=out_dir,
-                            batch_size=batch_size, extra_findings=extra)
+                            batch_size=batch_size, extra_findings=extra,
+                            sketch_spec=sketch_spec,
+                            ref_rules_keys=ref_rules_keys)
 
 
 def default_constraint_set() -> ConstraintSet:

@@ -270,13 +270,125 @@ def merge_sketches_driver(sketch_ds: "rd.Dataset") -> dict:
     return merged
 
 
+def fold_findings(batches, rules: TableRules, sample_k: int = 1000):
+    """One driver pass over findings batches → (colstats, violation counts,
+    merged sketches).  Replaces three separate filter+merge mini-pipelines."""
+    import base64
+
+    import pyarrow.compute as _pc
+
+    from crn_meta_validate_ray.state.sketches import (CountMin, HyperLogLog,
+                                                      TDigest)
+
+    rule_by_field = {r.field: r for r in rules.active_fields()}
+    colstats: dict[str, ColStat] = {}
+    counts: dict[str, int] = {}
+    sketches: dict = {}
+    for t in batches:
+        kinds = t["kind"]
+        cs_rows = t.filter(_pc.equal(kinds, "colstat"))
+        if cs_rows.num_rows:
+            for row in _combine_colstat_block(cs_rows).to_pylist():
+                col = row["column"]
+                cs = colstats.get(col)
+                if cs is None:
+                    rule = rule_by_field.get(col)
+                    cs = ColStat(column=col,
+                                 constraint_id=row["constraint_id"],
+                                 severity=row["severity"])
+                    colstats[col] = cs
+                cs.merge_row(row, sample_k)
+        v_rows = t.filter(_pc.equal(kinds, "violation"))
+        if v_rows.num_rows:
+            vc = _pc.value_counts(v_rows["constraint_id"].combine_chunks())
+            for row in vc.to_pylist():
+                counts[row["values"]] = counts.get(row["values"], 0) \
+                    + int(row["counts"])
+        sk_rows = t.filter(_pc.equal(kinds, "sketch"))
+        for row in sk_rows.select(["column", "value"]).to_pylist():
+            metric, payload = row["column"], base64.b64decode(row["value"])
+            if metric.startswith("hll:"):
+                obj = HyperLogLog.from_bytes(payload)
+            elif metric.startswith("cm:"):
+                obj = CountMin.from_bytes(payload)
+            else:
+                obj = TDigest.from_bytes(payload)
+            if metric in sketches:
+                sketches[metric].merge(obj)
+            else:
+                sketches[metric] = obj
+    return colstats, counts, sketches
+
+
+def _read_kind(findings_path: str, kind: str) -> "rd.Dataset":
+    """Read one hive partition of the findings layout; re-attach the
+    constant `kind` column that lives in the directory name."""
+    sub = os.path.join(findings_path, f"kind={kind}")
+    if not os.path.isdir(sub):
+        from crn_meta_validate_ray.stages.validate import FINDINGS_SCHEMA
+        return rd.from_arrow(FINDINGS_SCHEMA.empty_table())
+    ds = rd.read_parquet(sub)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if "kind" in t.column_names:
+            return t
+        return t.append_column(
+            "kind", pa.array([kind] * t.num_rows, type=pa.string()))
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _fold_write_mode(findings_path: str, rules: TableRules, sample_k: int):
+    """Write-mode merge: stream only the small colstat/sketch partitions to
+    the driver; violation counts come from a worker-side value_counts over
+    the column-pruned violation partition."""
+    import pyarrow.compute as _pc
+
+    fixed = []
+    for kind in ("colstat", "sketch"):
+        sub = os.path.join(findings_path, f"kind={kind}")
+        if not os.path.isdir(sub):
+            continue
+        for t in rd.read_parquet(sub).iter_batches(batch_size=1 << 16,
+                                                   batch_format="pyarrow"):
+            if "kind" not in t.column_names:
+                # the hive-partitioned write moved `kind` into the dir name
+                t = t.append_column(
+                    "kind", pa.array([kind] * t.num_rows, type=pa.string()))
+            fixed.append(t)
+    colstats, counts, sketches = fold_findings(iter(fixed), rules, sample_k)
+
+    vio_sub = os.path.join(findings_path, "kind=violation")
+    if os.path.isdir(vio_sub):
+        vio = rd.read_parquet(vio_sub, columns=["constraint_id"])
+
+        def vc(t: pa.Table) -> pa.Table:
+            out = _pc.value_counts(t["constraint_id"].combine_chunks())
+            return pa.table({"constraint_id": out.field("values"),
+                             "n": out.field("counts")})
+
+        for b in vio.map_batches(vc, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"):
+            for row in b.to_pylist():
+                counts[row["constraint_id"]] = counts.get(
+                    row["constraint_id"], 0) + int(row["n"])
+    return colstats, counts, sketches
+
+
 def violation_counts(violations: "rd.Dataset") -> dict[str, int]:
-    """Count violation rows per constraint_id (a tiny groupby over the small
-    violations stream)."""
+    """Count violation rows per constraint_id — a streaming driver-side fold
+    over per-batch value_counts (violations are the small output stream; a
+    distributed groupby here would pay a whole sort barrier for nothing)."""
+    import pyarrow.compute as _pc
+
     out: dict[str, int] = {}
-    counted = violations.groupby("constraint_id").count()
-    for row in counted.take_all():
-        out[row["constraint_id"]] = int(row["count()"])
+    only = violations.select_columns(["constraint_id"])
+    for batch in only.iter_batches(batch_size=1 << 18,
+                                   batch_format="pyarrow"):
+        vc = _pc.value_counts(batch["constraint_id"].combine_chunks())
+        for row in vc.to_pylist():
+            out[row["values"]] = out.get(row["values"], 0) + int(row["counts"])
     return out
 
 
@@ -343,6 +455,8 @@ def validate_dataset(
     extra_messages: "list[tuple[str, str, str]] | None" = None,
     report: ReportCollector | None = None,
     include_details: bool = True,
+    sketch_spec=None,
+    ref_rules_keys=None,
 ) -> ValidationRun:
     """Validate one Dataset against a TableRules registry.
 
@@ -350,11 +464,15 @@ def validate_dataset(
     (uniqueness / referential / sequence / sketch stages), unioned into the
     single findings stream; their violation rows and sketch partials are
     folded into the verdict.  ``extra_messages``: additional
-    ``(severity, constraint_id, msg)`` verdicts.
+    ``(severity, constraint_id, msg)`` verdicts.  ``sketch_spec`` /
+    ``ref_rules_keys`` fuse the sketch stage and broadcast referential check
+    into the per-cell pass (one read of the wide input).
     """
     schema = ds.schema()
     schema_names = list(schema.names) if schema is not None else []
-    validator = BatchValidator(rules, sample_k=sample_k)
+    validator = BatchValidator(rules, sample_k=sample_k,
+                               sketch_spec=sketch_spec,
+                               ref_rules_keys=ref_rules_keys)
     findings = ds.map_batches(validator, batch_format="pyarrow",
                               batch_size=batch_size, zero_copy_batch=True)
     for extra in extra_findings or []:
@@ -374,19 +492,20 @@ def validate_dataset(
         findings.write_parquet(tmp_path, partition_cols=["kind"])
         shutil.rmtree(findings_path, ignore_errors=True)
         os.replace(tmp_path, findings_path)
-        all_findings = rd.read_parquet(findings_path)
+        # hive layout by kind → read only the small partitions for merging;
+        # the (possibly huge) violation partition is touched column-pruned
+        colstats, counts, sketches = _fold_write_mode(findings_path, rules,
+                                                      sample_k)
+        violations = _read_kind(findings_path, "violation")
     else:
-        all_findings = findings.materialize()
-    colstat_ds = all_findings.filter(expr="kind == 'colstat'")
-    violations = all_findings.filter(expr="kind == 'violation'")
-    sketch_ds = all_findings.filter(expr="kind == 'sketch'")
+        mat = findings.materialize()
+        colstats, counts, sketches = fold_findings(
+            mat.iter_batches(batch_size=1 << 16, batch_format="pyarrow"),
+            rules, sample_k)
+        violations = mat.filter(expr="kind == 'violation'")
 
-    colstats = merge_colstats_driver(colstat_ds, rules, sample_k=sample_k)
     n_rows = max((cs.n_rows for cs in colstats.values()), default=0)
     result = build_eval_result(rules, schema_names, colstats, n_rows)
-
-    counts = violation_counts(violations)
-    sketches = merge_sketches_driver(sketch_ds)
     ext_err, ext_warn, extras = extension_summaries(rules, counts, sketches,
                                                     n_rows)
     result.extension_errors.extend(ext_err)

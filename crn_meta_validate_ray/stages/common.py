@@ -1,0 +1,180 @@
+"""Shared shuffle helper: coarse hash-bucket grouping.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes ``fn`` once per group — at
+millions of tiny groups (one per conversation / band bucket / key) the
+per-group Python-call + block-slice overhead dominates wall-clock by orders
+of magnitude.  ``grouped_map`` keeps the same co-location guarantee with a
+bounded number of groups:
+
+1. append ``__hb = hash(key columns) % num_buckets`` vectorized;
+2. ``groupby('__hb').map_groups(bucket_fn)`` — every row of a key lands in
+   exactly one bucket, so ``bucket_fn`` sees all rows for each of its keys
+   and does a *pandas* groupby internally (C-speed, one Python call per
+   bucket instead of per key).
+
+``num_buckets`` bounds both the per-call overhead (calls = buckets) and the
+per-task memory (rows/buckets × row width); size it ≥ cluster cores and so
+a bucket of the narrow key columns fits in a worker's heap.  Skewed keys:
+bucket on the *salted* key, never the raw hot key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+DEFAULT_NUM_BUCKETS = None  # resolved from cluster size at call time
+
+
+def resolve_num_buckets(num_buckets: int | None) -> int:
+    """Default bucket count: ~2× the cluster CPUs, clamped to [8, 128] —
+    enough parallelism for the reduce wave without drowning small clusters
+    in task overhead.  At true multi-node scale callers should pass an
+    explicit count sized so a bucket of the narrow key columns fits a
+    worker's heap (e.g. total_bytes / 256 MiB)."""
+    if num_buckets is not None:
+        return num_buckets
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, min(128, 2 * cpus))
+
+
+def hash_bucket_column(t: pa.Table, keys: list[str],
+                       num_buckets: int) -> pa.Array:
+    """Vectorized hash of the key columns → int32 bucket id."""
+    parts = []
+    for k in keys:
+        col = t[k]
+        s = pc.fill_null(pc.cast(col, pa.string()), "\x00null")
+        parts.append(s)
+    joined = parts[0] if len(parts) == 1 else \
+        pc.binary_join_element_wise(*parts, pa.scalar("\x1f"))
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    h = pd.util.hash_array(np.asarray(joined, dtype=object)) % num_buckets
+    return pa.array(h.astype(np.int32))
+
+
+def _split_block(keys: list[str], num_buckets: int, *tbls) -> list[pa.Table]:
+    """Map side of the exchange: partition a chunk of blocks into per-bucket
+    sub-tables with a single argsort + slice (no per-bucket filter scans).
+    Several input blocks are coalesced per task so the exchange creates
+    O(split_tasks × buckets) objects, not O(blocks × buckets) — per-object
+    store overhead, not bytes, dominates at small block sizes."""
+    good = [t for t in tbls
+            if t.num_rows and all(k in t.column_names for k in keys)]
+    if not good:
+        return [None] * num_buckets
+    tbl = good[0] if len(good) == 1 else pa.concat_tables(good)
+    hb = np.asarray(hash_bucket_column(tbl, keys, num_buckets))
+    order = np.argsort(hb, kind="stable")
+    sorted_hb = hb[order]
+    taken = tbl.take(pa.array(order))
+    bounds = np.searchsorted(sorted_hb, np.arange(num_buckets + 1))
+    return [taken.slice(bounds[b], bounds[b + 1] - bounds[b])
+            for b in range(num_buckets)]
+
+
+def _reduce_bucket(bucket_fn, batch_format: str, empty_block: pa.Table,
+                   *parts) -> pa.Table:
+    parts = [p for p in parts if p is not None and p.num_rows]
+    t = pa.concat_tables(parts) if parts else empty_block
+    if batch_format == "pandas":
+        out = bucket_fn(t.to_pandas())
+        if isinstance(out, pa.Table):  # fns may return Arrow directly
+            return out
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return bucket_fn(t)
+
+
+def grouped_map(
+    ds: "rd.Dataset",
+    keys: list[str],
+    bucket_fn,
+    *,
+    num_buckets: int | None = DEFAULT_NUM_BUCKETS,
+    batch_format: str = "pandas",
+    engine: str = "core",
+) -> "rd.Dataset":
+    """Apply ``bucket_fn`` to each hash bucket of ``keys``.  ``bucket_fn``
+    receives one DataFrame (or Arrow table) holding every row of its keys
+    and must group by ``keys`` itself.
+
+    ``engine='core'`` (default) runs the exchange as raw Ray tasks:
+    map-side partition (argsort + slice per block) → per-bucket gather →
+    one ``bucket_fn`` task per bucket, with all intermediates in the object
+    store.  This is one of the few places the Dataset API genuinely can't
+    express the semantics efficiently: ``groupby().map_groups`` pays a full
+    sort-based shuffle (measured 30-60 s on 12M narrow rows locally) where
+    this exchange needs only ~2 s.  ``engine='dataset'`` keeps the
+    pure-Dataset path for comparison/debugging."""
+    import ray
+
+    num_buckets = resolve_num_buckets(num_buckets)
+    if engine == "dataset":
+        def add_bucket(t: pa.Table) -> pa.Table:
+            return t.append_column("__hb", hash_bucket_column(t, keys,
+                                                              num_buckets))
+
+        bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        if batch_format == "pandas":
+            def run(g: pd.DataFrame):
+                return bucket_fn(g.drop(columns="__hb"))
+        else:
+            def run(g):
+                return bucket_fn(g.drop_columns(["__hb"]))
+        return bucketed.groupby("__hb").map_groups(run,
+                                                   batch_format=batch_format)
+
+    split_task = ray.remote(num_returns=num_buckets)(_split_block)
+    reduce_task = ray.remote(_reduce_bucket)
+
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(pa.table({}))
+    # an empty input block gives every reduce task the input schema, so a
+    # bucket with no rows still yields a schema-correct empty output
+    # (skip stale-schema empty blocks when picking the exemplar)
+    empty_in = None
+    for r in block_refs[:16]:
+        t = ray.get(r)
+        if all(k in t.column_names for k in keys):
+            empty_in = t.slice(0, 0)
+            break
+    if empty_in is None:
+        empty_in = ray.get(block_refs[0]).slice(0, 0)
+    empty_ref = ray.put(empty_in)
+    # coalesce blocks so the object count is O(split_tasks × buckets)
+    n_split = max(1, min(len(block_refs), num_buckets))
+    chunk = -(-len(block_refs) // n_split)
+    chunks = [block_refs[i:i + chunk]
+              for i in range(0, len(block_refs), chunk)]
+    per_chunk = [split_task.remote(keys, num_buckets, *c) for c in chunks]
+    if num_buckets == 1:
+        per_chunk = [[r] for r in per_chunk]
+    out_refs = [
+        reduce_task.remote(bucket_fn, batch_format, empty_ref,
+                           *[pc_[b] for pc_ in per_chunk])
+        for b in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def drop_duplicate_rows(ds: "rd.Dataset", keys: list[str],
+                        num_buckets: int | None = DEFAULT_NUM_BUCKETS
+                        ) -> "rd.Dataset":
+    """Distributed drop-duplicates on ``keys`` (first occurrence per bucket
+    order) — vectorized inside buckets."""
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=keys, keep="first")
+
+    return grouped_map(ds, keys, bucket, num_buckets=num_buckets)

@@ -30,6 +30,7 @@ from crn_meta_validate_ray.functions.hashing import (
     hamming64,
     simhash64,
 )
+from crn_meta_validate_ray.stages.common import drop_duplicate_rows, grouped_map
 from crn_meta_validate_ray.functions.text import (
     char_shingles,
     fingerprint_md5,
@@ -59,11 +60,11 @@ def exact_dedup_keep_first(ds: "rd.Dataset", text_col: str = "text",
     withfp = ds.map_batches(lambda t: fingerprint_md5(t, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(id_col, kind="stable")
+                .drop_duplicates(subset=["fp"], keep="first"))
 
-    return withfp.groupby("fp").map_groups(keep_first, batch_format="pandas") \
-        .drop_columns(["fp"])
+    return grouped_map(withfp, ["fp"], keep_first).drop_columns(["fp"])
 
 
 class _SignatureStage:
@@ -114,27 +115,41 @@ class _SignatureStage:
 
 
 def _pair_stage(threshold: float, exact_jaccard: bool, max_bucket: int):
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Bucket function for grouped_map: candidate groups are the
+    (band_id, band_hash) buckets *within* the physical hash bucket;
+    singleton groups (the vast majority) are filtered vectorized before any
+    pair loop runs."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"id_a": [], "id_b": [], "jaccard": []}
-        if 2 <= len(g) <= max_bucket:
-            g = g.sort_values("doc_id", kind="stable")
-            ids = g["doc_id"].tolist()
-            sigs = [np.asarray(s, dtype=np.int64) for s in g["sig"]]
-            grams = [np.asarray(x, dtype=np.int64) for x in g["grams"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if exact_jaccard and len(grams[i]) and len(grams[j]):
-                        inter = np.intersect1d(grams[i], grams[j],
-                                               assume_unique=True).size
-                        union = grams[i].size + grams[j].size - inter
-                        sim = inter / union if union else 0.0
-                    else:
-                        sim = float((sigs[i] == sigs[j]).mean())
-                    if sim >= threshold:
-                        cols["id_a"].append(ids[i])
-                        cols["id_b"].append(ids[j])
-                        cols["jaccard"].append(sim)
-        return pd.DataFrame(cols)
+        if len(df):
+            multi = df.groupby(["band_id", "band_hash"], sort=False)
+            for _, g in multi:
+                if not (2 <= len(g) <= max_bucket):
+                    continue
+                g = g.sort_values("doc_id", kind="stable")
+                ids = g["doc_id"].tolist()
+                sigs = [np.asarray(s, dtype=np.int64) for s in g["sig"]]
+                grams = [np.asarray(x, dtype=np.int64) for x in g["grams"]]
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        if exact_jaccard and len(grams[i]) and len(grams[j]):
+                            inter = np.intersect1d(grams[i], grams[j],
+                                                   assume_unique=True).size
+                            union = grams[i].size + grams[j].size - inter
+                            sim = inter / union if union else 0.0
+                        else:
+                            sim = float((sigs[i] == sigs[j]).mean())
+                        if sim >= threshold:
+                            cols["id_a"].append(ids[i])
+                            cols["id_b"].append(ids[j])
+                            cols["jaccard"].append(sim)
+        out = pd.DataFrame(cols)
+        if not len(out):
+            out = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                "id_b": pd.Series(dtype=np.int64),
+                                "jaccard": pd.Series(dtype=np.float64)})
+        return out
 
     return pairs
 
@@ -163,16 +178,10 @@ def minhash_lsh_pairs(
                                 carry_ngrams=exact_jaccard)
     bandrows = narrow.map_batches(sig_stage, batch_format="pyarrow",
                                   batch_size=2048)
-    cand = bandrows.groupby(["band_id", "band_hash"]).map_groups(
-        _pair_stage(threshold, exact_jaccard, max_bucket),
-        batch_format="pandas")
-
+    cand = grouped_map(bandrows, ["band_id", "band_hash"],
+                       _pair_stage(threshold, exact_jaccard, max_bucket))
     # a pair can surface from several bands — keep one row per pair
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        first, batch_format="pandas")
+    return drop_duplicate_rows(cand, ["id_a", "id_b"])
 
 
 def ngram_jaccard_pairs(ds: "rd.Dataset", *, threshold: float = 0.7,
@@ -227,9 +236,11 @@ def simhash_pairs(ds: "rd.Dataset", *, text_col: str = "text",
     rows = narrow.map_batches(_SimHashStage(text_col, id_col),
                               batch_format="pyarrow", batch_size=2048)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"id_a": [], "id_b": [], "hamming": []}
-        if 2 <= len(g) <= max_bucket:
+        for _, g in df.groupby(["band_id", "band_val"], sort=False):
+            if not (2 <= len(g) <= max_bucket):
+                continue
             g = g.sort_values("doc_id", kind="stable")
             ids = g["doc_id"].tolist()
             sh = g["sh"].to_numpy().astype(np.int64).astype(np.uint64)
@@ -241,13 +252,12 @@ def simhash_pairs(ds: "rd.Dataset", *, text_col: str = "text",
                         cols["id_a"].append(ids[i])
                         cols["id_b"].append(ids[i + 1 + off])
                         cols["hamming"].append(int(dist))
-        return pd.DataFrame(cols)
+        out = pd.DataFrame(cols)
+        if not len(out):
+            out = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                "id_b": pd.Series(dtype=np.int64),
+                                "hamming": pd.Series(dtype=np.int64)})
+        return out
 
-    cand = rows.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        first, batch_format="pandas")
+    cand = grouped_map(rows, ["band_id", "band_val"], pairs)
+    return drop_duplicate_rows(cand, ["id_a", "id_b"])

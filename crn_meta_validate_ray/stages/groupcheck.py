@@ -10,18 +10,22 @@ explicitly"):
 1. only the narrow columns (group, index[, ts]) are selected before the
    shuffle — at transcript shape this is a few % of table bytes, and the
    wide ``text`` column never moves;
-2. the first groupby keys on **(group, salt_bucket)** where
+2. rows are co-located by **hash(group, salt_bucket)** where
    ``salt_bucket = index // salt_every`` — a mega-conversation with 10^8
-   turns lands in many bounded sub-groups instead of one worker-killing
-   group (skew-aware salting, V13);
-3. per-bucket partials are *exact* within their disjoint index range
-   (count, distinct-count, min, max, dup list, boundary timestamps, gap
-   digest), so the second, tiny groupby on (group) merges them losslessly:
-   contiguous ⇔ min==start ∧ sum(distinct)==max-start+1 ∧ dups==0.
+   turns spreads over many bounded sub-groups instead of one worker-killing
+   group (skew-aware salting, V13), and the number of *physical* groups is
+   capped at ``num_buckets`` so per-group Python overhead never dominates
+   (see stages/common.grouped_map);
+3. per-(group, salt_bucket) partials are exact within their disjoint index
+   range — count, distinct-count, min, max, duplicate detail, boundary
+   timestamps, gap-digest — so the per-group merge is lossless:
+   contiguous ⇔ min==start ∧ Σdistinct==max-start+1; duplicates ⇔
+   Σn > Σdistinct.
 
-Violations are emitted in the shared FINDINGS schema; drift partials ride
-along as ``kind='sketch'`` rows so the whole check remains a single
-consumable stream.
+Everything inside a bucket is one vectorized pandas groupby — no Python
+loop over conversations anywhere.  Violations are emitted in the shared
+FINDINGS schema; drift partials ride along as ``kind='sketch'`` rows so the
+whole check remains a single consumable stream.
 """
 
 from __future__ import annotations
@@ -29,97 +33,193 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
 from crn_meta_validate_ray.registry import SeqRule, TableRules, UniqueRule
+from crn_meta_validate_ray.stages.common import grouped_map
 from crn_meta_validate_ray.stages.sketch import sketch_row
 from crn_meta_validate_ray.stages.validate import FINDINGS_SCHEMA, _PAD
 from crn_meta_validate_ray.state.sketches import TDigest
 
-_MAX_DUPS_PER_GROUP = 100  # cap emitted dup detail rows per group (bounded output)
+_MAX_DUPS_PER_BUCKET = 10_000  # bound dup-detail rows per physical bucket
 
 
-def _bucket_partial(ts_enabled: bool):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        idx = g["__idx"].to_numpy()
-        order = np.argsort(idx, kind="stable")
-        sidx = idx[order]
-        uniq, counts = np.unique(sidx, return_counts=True)
-        dup_vals = uniq[counts > 1][:_MAX_DUPS_PER_GROUP]
-        dup_counts = counts[counts > 1][:_MAX_DUPS_PER_GROUP]
-        row = {
-            "group": g["__grp"].iloc[0],
-            "bucket": g["__bkt"].iloc[0],
-            "n": len(sidx),
-            "n_distinct": len(uniq),
-            "min_idx": int(sidx[0]),
-            "max_idx": int(sidx[-1]),
-            "dup_vals": dup_vals.astype(np.int64).tolist(),
-            "dup_counts": dup_counts.astype(np.int64).tolist(),
-        }
+def _bucket_partials(ts_enabled: bool):
+    """Stage A: all rows of each (group, salt_bucket) → one partial row,
+    plus dup-detail rows and one gap-digest row per physical bucket.
+
+    Fully vectorized: one lexsort on integer codes, then group boundaries
+    via change-flags and per-group reductions via ``np.bincount`` — no
+    pandas groupby over (many) string keys in the hot path."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_partials()
+        grp = df["__grp"].to_numpy()
+        # integer codes for the group strings (factorize = one hash pass)
+        codes, uniques = pd.factorize(grp, sort=False)
+        bkt = df["__bkt"].to_numpy()
+        idx = df["__idx"].to_numpy()
+        order = np.lexsort((idx, bkt, codes))
+        c, b, i = codes[order], bkt[order], idx[order]
+        n_rows = len(c)
+
+        new_grp = np.ones(n_rows, dtype=bool)
+        new_grp[1:] = (c[1:] != c[:-1]) | (b[1:] != b[:-1])
+        gid = np.cumsum(new_grp) - 1
+        n_groups = int(gid[-1]) + 1
+        starts = np.nonzero(new_grp)[0]
+        ends = np.concatenate([starts[1:] - 1, [n_rows - 1]])
+
+        n = np.diff(np.concatenate([starts, [n_rows]])).astype(np.int64)
+        new_val = new_grp.copy()
+        new_val[1:] |= i[1:] != i[:-1]
+        nd = np.bincount(gid, weights=new_val, minlength=n_groups) \
+            .astype(np.int64)
+        mn, mx = i[starts], i[ends]
+
+        out = pd.DataFrame({
+            "kind": "p", "grp": uniques[c[starts]], "bkt": b[starts],
+            "n": n, "nd": nd, "mn": mn, "mx": mx,
+            "first_ts": np.int64(0), "last_ts": np.int64(0),
+            "idx": np.int64(0), "cnt": np.int64(0),
+            "payload": b"", "weight": 0.0,
+        })
+        frames = [out]
+
+        # duplicate detail: rows where the (group, index) repeats — rare,
+        # so the detail aggregation runs on the small subset only
+        dup_mask = ~new_val
+        if dup_mask.any():
+            dup_rows = np.nonzero(dup_mask)[0]
+            dd = pd.DataFrame({"c": c[dup_rows], "i": i[dup_rows]})
+            counts = dd.groupby(["c", "i"], sort=False).size().reset_index()
+            counts = counts.head(_MAX_DUPS_PER_BUCKET)
+            frames.append(pd.DataFrame({
+                "kind": "d", "grp": uniques[counts["c"].to_numpy()],
+                "bkt": np.int64(0), "n": np.int64(0), "nd": np.int64(0),
+                "mn": np.int64(0), "mx": np.int64(0),
+                "first_ts": np.int64(0), "last_ts": np.int64(0),
+                "idx": counts["i"].astype(np.int64),
+                "cnt": (counts[0] + 1).astype(np.int64),  # +1: first is kept
+                "payload": b"", "weight": 0.0,
+            }))
+
         if ts_enabled:
-            ts_sorted = (g["__ts"].to_numpy()[order]
-                         .astype("datetime64[us]").astype(np.int64))
-            gaps = (np.diff(ts_sorted) / 1e6 if len(ts_sorted) > 1
-                    else np.empty(0))
+            ts = df["__ts"].to_numpy()[order] \
+                .astype("datetime64[us]").astype(np.int64)
+            gaps = np.diff(ts) / 1e6
+            gaps = gaps[~new_grp[1:]]
             td = TDigest()
             td.update(gaps)
-            row["first_ts"] = int(ts_sorted[0]) if len(ts_sorted) else 0
-            row["last_ts"] = int(ts_sorted[-1]) if len(ts_sorted) else 0
-            row["gap_digest"] = td.to_bytes()
-        else:
-            row["first_ts"] = 0
-            row["last_ts"] = 0
-            row["gap_digest"] = b""
-        return pd.DataFrame([row])
+            out["first_ts"] = ts[starts]
+            out["last_ts"] = ts[ends]
+            frames.append(pd.DataFrame([{
+                "kind": "g", "grp": "", "bkt": 0, "n": 0, "nd": 0,
+                "mn": 0, "mx": 0, "first_ts": 0, "last_ts": 0, "idx": 0,
+                "cnt": 0, "payload": td.to_bytes(),
+                "weight": float(len(gaps)),
+            }]))
+        return pd.concat(frames, ignore_index=True)
 
     return fn
 
 
-def _merge_group(start: int, ts_enabled: bool):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket")
-        n = int(g["n"].sum())
-        n_distinct = int(g["n_distinct"].sum())  # buckets hold disjoint ranges
-        mn = int(g["min_idx"].min())
-        mx = int(g["max_idx"].max())
-        n_dups = n - n_distinct
-        # contiguity is judged on the distinct index set so duplicate rows
-        # are reported only by the uniqueness rule, not double-flagged here
-        contiguous = (mn == start) and (n_distinct == mx - start + 1)
-        dup_vals: list = []
-        dup_counts: list = []
-        for dv, dc in zip(g["dup_vals"], g["dup_counts"]):
-            dup_vals.extend(dv)
-            dup_counts.extend(dc)
-        row = {
-            "group": g["group"].iloc[0],
-            "n": n, "n_distinct": n_distinct, "min_idx": mn, "max_idx": mx,
-            "n_dups": n_dups, "contiguous": contiguous,
-            "dup_vals": dup_vals[:_MAX_DUPS_PER_GROUP],
-            "dup_counts": dup_counts[:_MAX_DUPS_PER_GROUP],
-        }
+def _empty_partials() -> pd.DataFrame:
+    return pd.DataFrame({
+        "kind": pd.Series(dtype=object), "grp": pd.Series(dtype=object),
+        "bkt": pd.Series(dtype=np.int64), "n": pd.Series(dtype=np.int64),
+        "nd": pd.Series(dtype=np.int64), "mn": pd.Series(dtype=np.int64),
+        "mx": pd.Series(dtype=np.int64),
+        "first_ts": pd.Series(dtype=np.int64),
+        "last_ts": pd.Series(dtype=np.int64),
+        "idx": pd.Series(dtype=np.int64), "cnt": pd.Series(dtype=np.int64),
+        "payload": pd.Series(dtype=object),
+        "weight": pd.Series(dtype=np.float64),
+    })
+
+
+def _merge_stage(start: int, ts_enabled: bool, size_metric_enabled: bool):
+    """Stage B: merge per-(group, salt_bucket) partials per group —
+    vectorized verdicts, dup pass-through, digest fold."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        p = df[df["kind"] == "p"]
+        if len(p):
+            agg = p.groupby("grp", sort=False).agg(
+                n=("n", "sum"), nd=("nd", "sum"),
+                mn=("mn", "min"), mx=("mx", "max")).reset_index()
+            # contiguity on the distinct index set (duplicates are the
+            # uniqueness rule's finding, not a sequence gap)
+            bad = agg[~((agg["mn"] == start)
+                        & (agg["nd"] == agg["mx"] - start + 1))]
+            if len(bad):
+                frames.append(pd.DataFrame({
+                    "ftype": "seq", "grp": bad["grp"],
+                    "value": ("n=" + bad["n"].astype(str)
+                              + " distinct=" + bad["nd"].astype(str)
+                              + " min=" + bad["mn"].astype(str)
+                              + " max=" + bad["mx"].astype(str)),
+                    "idx": 0, "payload": b"", "weight": 0.0,
+                }))
+            if size_metric_enabled:
+                td = TDigest()
+                td.update(agg["n"].to_numpy(dtype=np.float64))
+                frames.append(pd.DataFrame([{
+                    "ftype": "size_digest", "grp": "", "value": "",
+                    "idx": 0, "payload": td.to_bytes(),
+                    "weight": float(agg["n"].sum()),
+                }]))
+        d = df[df["kind"] == "d"]
+        if len(d):
+            frames.append(pd.DataFrame({
+                "ftype": "dup", "grp": d["grp"],
+                "value": "count=" + d["cnt"].astype(str),
+                "idx": d["idx"].astype(np.int64),
+                "payload": b"", "weight": 0.0,
+            }))
         if ts_enabled:
             td = TDigest()
-            for raw in g["gap_digest"]:
+            total = 0.0
+            g = df[df["kind"] == "g"]
+            for raw, w in zip(g["payload"], g["weight"]):
                 if raw:
                     td.merge(TDigest.from_bytes(raw))
-            # boundary gaps between consecutive buckets
-            if len(g) > 1:
-                boundary = (g["first_ts"].to_numpy()[1:]
-                            - g["last_ts"].to_numpy()[:-1]) / 1e6
-                td.update(boundary)
-            row["gap_digest"] = td.to_bytes()
-        else:
-            row["gap_digest"] = b""
-        return pd.DataFrame([row])
+                    total += float(w)
+            if len(p) > 1:
+                # cross-salt-bucket boundary gaps within each group
+                ps = p.sort_values(["grp", "bkt"], kind="stable")
+                same = ps["grp"].to_numpy()[1:] == ps["grp"].to_numpy()[:-1]
+                bg = (ps["first_ts"].to_numpy()[1:]
+                      - ps["last_ts"].to_numpy()[:-1]) / 1e6
+                bg = bg[same]
+                td.update(bg)
+                total += float(len(bg))
+            if total or len(g):
+                frames.append(pd.DataFrame([{
+                    "ftype": "gap_digest", "grp": "", "value": "",
+                    "idx": 0, "payload": td.to_bytes(), "weight": total,
+                }]))
+        if not frames:
+            return pd.DataFrame({
+                "ftype": pd.Series(dtype=object),
+                "grp": pd.Series(dtype=object),
+                "value": pd.Series(dtype=object),
+                "idx": pd.Series(dtype=np.int64),
+                "payload": pd.Series(dtype=object),
+                "weight": pd.Series(dtype=np.float64),
+            })
+        return pd.concat(frames, ignore_index=True)
 
     return fn
 
 
-class _PerGroupFindings:
-    """per-conv verdict rows → FINDINGS violations + drift sketch partials."""
+class _ToFindings:
+    """Stage C: compact stage-B rows → shared FINDINGS schema (vectorized,
+    explicit types so unions line up)."""
 
     def __init__(self, table: str, seq: SeqRule | None, uniq: UniqueRule | None,
                  gap_metric: str | None, size_metric: str | None):
@@ -131,53 +231,55 @@ class _PerGroupFindings:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        rows = []
-        for _, r in df.iterrows():
-            grp = r["group"]
-            pad = str(grp)
-            if self.seq is not None and not r["contiguous"]:
-                rows.append({
-                    "kind": "violation", "table": self.table,
-                    "column": self.seq.index_col,
-                    "constraint_id": self.seq.constraint_id,
-                    "severity": self.seq.severity,
-                    "value": (f"n={r['n']} distinct={r['n_distinct']} "
-                              f"min={r['min_idx']} max={r['max_idx']}"),
-                    "row_key": str(grp), "sort_key": pad,
-                    "n_rows": None, "n_null": None, "n_invalid": None,
-                    "invalid_values": None, "invalid_value_keys": None,
-                    "exact": None,
-                })
-            if self.uniq is not None and r["n_dups"] > 0:
-                for dv, dc in zip(r["dup_vals"], r["dup_counts"]):
-                    rows.append({
-                        "kind": "violation", "table": self.table,
-                        "column": ",".join(self.uniq.columns),
-                        "constraint_id": self.uniq.constraint_id,
-                        "severity": self.uniq.severity,
-                        "value": f"count={int(dc)}",
-                        "row_key": f"{grp}|{int(dv)}",
-                        "sort_key": f"{grp}|{str(int(dv)).zfill(_PAD)}",
-                        "n_rows": None, "n_null": None, "n_invalid": None,
-                        "invalid_values": None, "invalid_value_keys": None,
-                        "exact": None,
-                    })
-        # block-level drift partials
+        rows: list[pa.Table] = [FINDINGS_SCHEMA.empty_table()]
+
+        def violations(sub: pd.DataFrame, column: str, cid: str, sev: str,
+                       row_key: pd.Series, sort_key: pd.Series):
+            n = len(sub)
+            if not n:
+                return
+            nulls_i = pa.nulls(n, pa.int64())
+            nulls_l = pa.nulls(n, pa.list_(pa.string()))
+            rows.append(pa.Table.from_arrays([
+                pa.array(np.repeat("violation", n)),
+                pa.array(np.repeat(self.table, n)),
+                pa.array(np.repeat(column, n)),
+                pa.array(np.repeat(cid, n)),
+                pa.array(np.repeat(sev, n)),
+                pa.array(sub["value"].astype(str), type=pa.string()),
+                pa.array(row_key.astype(str), type=pa.string()),
+                pa.array(sort_key.astype(str), type=pa.string()),
+                nulls_i, nulls_i, nulls_i, nulls_l, nulls_l,
+                pa.nulls(n, pa.bool_()),
+            ], schema=FINDINGS_SCHEMA))
+
+        if self.seq is not None:
+            s = df[df["ftype"] == "seq"]
+            violations(s, self.seq.index_col, self.seq.constraint_id,
+                       self.seq.severity, s["grp"], s["grp"])
+        if self.uniq is not None:
+            d = df[df["ftype"] == "dup"]
+            if len(d):
+                rk = d["grp"].astype(str) + "|" + d["idx"].astype(str)
+                sk = (d["grp"].astype(str) + "|"
+                      + d["idx"].astype(str).str.zfill(_PAD))
+                violations(d, ",".join(self.uniq.columns),
+                           self.uniq.constraint_id, self.uniq.severity,
+                           rk, sk)
+        sk_rows = []
         if self.gap_metric:
-            td = TDigest()
-            for raw in df["gap_digest"]:
-                if raw:
-                    td.merge(TDigest.from_bytes(raw))
-            rows.append(sketch_row(self.table, self.gap_metric, td.to_bytes(),
-                                   int(df["n"].sum())))
+            for _, r in df[df["ftype"] == "gap_digest"].iterrows():
+                if r["payload"]:
+                    sk_rows.append(sketch_row(self.table, self.gap_metric,
+                                              r["payload"], int(r["weight"])))
         if self.size_metric:
-            td = TDigest()
-            td.update(df["n"].to_numpy(dtype=np.float64))
-            rows.append(sketch_row(self.table, self.size_metric, td.to_bytes(),
-                                   int(df["n"].sum())))
-        if not rows:
-            return FINDINGS_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=FINDINGS_SCHEMA)
+            for _, r in df[df["ftype"] == "size_digest"].iterrows():
+                if r["payload"]:
+                    sk_rows.append(sketch_row(self.table, self.size_metric,
+                                              r["payload"], int(r["weight"])))
+        if sk_rows:
+            rows.append(pa.Table.from_pylist(sk_rows, schema=FINDINGS_SCHEMA))
+        return pa.concat_tables(rows)
 
 
 def group_check_findings(
@@ -185,14 +287,14 @@ def group_check_findings(
     rules: TableRules,
     *,
     salt_every: int = 65536,
+    num_buckets: int | None = None,
+    driver_merge_max_rows: int = 200_000,
 ) -> "rd.Dataset | None":
     """Run sequence/uniqueness/drift group checks; returns a FINDINGS-schema
     dataset (or None when the registry declares none of these checks).
 
     ``ds`` should already be pruned to the needed columns when built from
-    Parquet (the caller passes a narrow read); this function additionally
-    selects only (group, index[, ts]) before the shuffle.
-    """
+    Parquet (the caller passes a narrow read)."""
     seq = rules.sequences[0] if rules.sequences else None
     uniq = rules.unique[0] if rules.unique else None
     gap_rules = [d for d in rules.drift if d.metric == "ts_gap"]
@@ -212,27 +314,37 @@ def group_check_findings(
     narrow = ds.select_columns(cols)
 
     def prep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         grp = pc.cast(t[group_col], pa.string())
-        idx = pc.cast(t[index_col], pa.int64())
-        bkt = pc.if_else(pc.is_null(idx), pa.scalar(-1, pa.int64()),
-                         pc.floor(pc.divide(pc.cast(idx, pa.float64()),
-                                            float(salt_every))))
-        out = {"__grp": grp, "__idx": pc.fill_null(idx, -1),
-               "__bkt": pc.cast(bkt, pa.int64())}
+        idx = pc.fill_null(pc.cast(t[index_col], pa.int64()), -1)
+        bkt = pc.cast(
+            pc.floor(pc.divide(pc.cast(idx, pa.float64()),
+                               float(salt_every))), pa.int64())
+        out = {"__grp": grp, "__idx": idx, "__bkt": bkt}
         if ts_col:
             out["__ts"] = t[ts_col]
         return pa.table(out)
 
     prepped = narrow.map_batches(prep, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    partials = prepped.groupby(["__grp", "__bkt"]).map_groups(
-        _bucket_partial(bool(ts_col)), batch_format="pandas")
-    per_group = partials.groupby("group").map_groups(
-        _merge_group(seq.start if seq else 0, bool(ts_col)),
-        batch_format="pandas")
-    conv = _PerGroupFindings(
+    partials = grouped_map(prepped, ["__grp", "__bkt"],
+                           _bucket_partials(bool(ts_col)),
+                           num_buckets=num_buckets)
+    merge_fn = _merge_stage(seq.start if seq else 0, bool(ts_col),
+                            bool(size_rules))
+    conv = _ToFindings(
         rules.table, seq, uniq,
         gap_rules[0].constraint_id if gap_rules else None,
         size_rules[0].constraint_id if size_rules else None)
-    return per_group.map_batches(conv, batch_format="pyarrow")
+
+    # one partial row per (group, salt_bucket) — usually ≈ #groups, tiny
+    # relative to the input.  Below the threshold, merge on the driver in
+    # one vectorized pass and skip a whole second sort barrier; above it
+    # (e.g. 10^10 conversations) fall back to the distributed merge.
+    part_mat = partials.materialize()
+    if part_mat.count() <= driver_merge_max_rows:
+        df = part_mat.to_pandas()
+        merged_tbl = pa.Table.from_pandas(merge_fn(df), preserve_index=False)
+        return rd.from_arrow(conv(merged_tbl))
+    merged = grouped_map(part_mat, ["grp"], merge_fn,
+                         num_buckets=None)
+    return merged.map_batches(conv, batch_format="pyarrow")

@@ -111,11 +111,27 @@ def referential_findings(
                                                 batch_format="pyarrow")
                 ] or [pa.array([], type=pa.string())]))
             keys_ref = ray.put(distinct)
-            out = ds.map_batches(
-                _BroadcastAntiJoin,
-                fn_constructor_args=(rules.table, rule, rules.locator, keys_ref),
-                batch_format="pyarrow", concurrency=(1, 8),
-                zero_copy_batch=True)
+            table_name, locator = rules.table, rules.locator
+
+            def anti(batch: pa.Table) -> pa.Table:
+                # stateless task: ray.get of a local object is ~free after
+                # the first call on each worker (no actor-pool startup)
+                keys = ray.get(keys_ref)
+                col = pc.cast(batch[rule.column], pa.string())
+                ok = pc.is_in(col, value_set=keys)
+                bad = np.nonzero(
+                    ~np.asarray(pc.fill_null(ok, False).combine_chunks()))[0]
+                if bad.size == 0:
+                    return FINDINGS_SCHEMA.empty_table()
+                row_key, sort_key = make_locator_keys(batch, locator)
+                take = pa.array(bad)
+                return _violation_table(
+                    table_name, rule,
+                    pc.take(col.combine_chunks(), take),
+                    pc.take(row_key, take), pc.take(sort_key, take))
+
+            out = ds.map_batches(anti, batch_format="pyarrow",
+                                 zero_copy_batch=True)
         else:
             out = _shuffle_anti_join(ds, rules, rule, tkeys)
         outs.append(out)
@@ -129,7 +145,10 @@ def referential_findings(
 
 def _shuffle_anti_join(ds, rules: TableRules, rule: RefRule, tkeys):
     """Distinct-key shuffle anti-join: batch-local dedupe → tag → union →
-    groupby(key) → survivors without a target marker."""
+    hash-bucketed co-location (stages/common.grouped_map, bounded group
+    count) → keys with no target marker are orphans — one vectorized pandas
+    pass per bucket, never a Python call per key."""
+    from crn_meta_validate_ray.stages.common import grouped_map
 
     def left_keys(t: pa.Table) -> pa.Table:
         k = pc.unique(pc.cast(t[rule.column], pa.string()).combine_chunks())
@@ -153,15 +172,25 @@ def _shuffle_anti_join(ds, rules: TableRules, rule: RefRule, tkeys):
 
     def survivors(g) -> pa.Table:
         import pandas as pd
-        if (g["__src"] == 1).any() or g.empty:
+        if g.empty:
             return FINDINGS_SCHEMA.empty_table()
-        key = str(g["__key"].iloc[0])
-        return pa.Table.from_pylist([{
-            "kind": "violation", "table": table_name, "column": col,
-            "constraint_id": cid, "severity": sev,
-            "value": key, "row_key": key, "sort_key": key,
-            "n_rows": None, "n_null": None, "n_invalid": None,
-            "invalid_values": None, "invalid_value_keys": None, "exact": None,
-        }], schema=FINDINGS_SCHEMA)
+        has_target = g.groupby("__key", sort=False)["__src"].max()
+        orphans = sorted(str(k) for k in has_target[has_target == 0].index)
+        n = len(orphans)
+        if not n:
+            return FINDINGS_SCHEMA.empty_table()
+        keys = pa.array(orphans, type=pa.string())
+        nulls_i = pa.nulls(n, pa.int64())
+        nulls_l = pa.nulls(n, pa.list_(pa.string()))
+        return pa.Table.from_arrays([
+            pa.array(np.repeat("violation", n)),
+            pa.array(np.repeat(table_name, n)),
+            pa.array(np.repeat(col, n)),
+            pa.array(np.repeat(cid, n)),
+            pa.array(np.repeat(sev, n)),
+            keys, keys, keys,
+            nulls_i, nulls_i, nulls_i, nulls_l, nulls_l,
+            pa.nulls(n, pa.bool_()),
+        ], schema=FINDINGS_SCHEMA)
 
-    return tagged.groupby("__key").map_groups(survivors, batch_format="pandas")
+    return grouped_map(tagged, ["__key"], survivors)

@@ -80,15 +80,21 @@ def knn_brute_force(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
         _ScoreBatch, fn_constructor_args=(qref, id_col, vec_col, k),
         batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int32)
-        return g[["query_idx", "rank", "vec_id", "score"]]
-
-    return partials.groupby("query_idx").map_groups(
-        merge, batch_format="pandas")
+    # the partial top-k stream is ≤ k × Q rows per block — merge on the
+    # driver (a distributed groupby here would cost a whole shuffle)
+    frames = [b.to_pandas() for b in partials.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")]
+    allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"query_idx": [], "vec_id": [], "score": []})
+    allp = allp.sort_values(["query_idx", "score", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+    topk = allp.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    topk["rank"] = topk.groupby("query_idx", sort=False).cumcount() \
+        .astype(np.int32)
+    out = pa.Table.from_pandas(
+        topk[["query_idx", "rank", "vec_id", "score"]], preserve_index=False)
+    import ray.data as _rd
+    return _rd.from_arrow(out)
 
 
 class _BucketStage:

@@ -22,6 +22,7 @@ import base64
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from crn_meta_validate_ray.stages.validate import FINDINGS_SCHEMA
 from crn_meta_validate_ray.state.sketches import CountMin, HyperLogLog
@@ -49,29 +50,43 @@ class SketchStage:
         self.hll_p = hll_p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from crn_meta_validate_ray.state.sketches import hash64
+
         rows = []
         n = batch.num_rows
         for key in self.hll_keys:
             if any(c not in batch.column_names for c in key):
                 continue
-            parts = [np.asarray(batch[c].cast(pa.string()).combine_chunks())
-                     .astype(object) for c in key]
-            joined = parts[0]
-            for p in parts[1:]:
-                joined = np.char.add(np.char.add(joined.astype(str), "|"),
-                                     p.astype(str)).astype(object)
+            # combine per-column hashes instead of concatenating strings —
+            # hash64 over an int column is pure numpy, over strings one
+            # vectorized pandas hash; mixing keeps the composite uniform
+            combined = np.zeros(n, dtype=np.uint64)
+            for j, c in enumerate(key):
+                col = batch[c]
+                if pa.types.is_integer(col.type):
+                    vals = np.asarray(col.combine_chunks().fill_null(-1)) \
+                        .astype(np.uint64)
+                else:
+                    vals = np.asarray(col.cast(pa.string()).combine_chunks()
+                                      .to_pandas(), dtype=object)
+                h = hash64(vals, seed=j)
+                combined = (combined * np.uint64(0x100000001B3)) ^ h
             hll = HyperLogLog(self.hll_p)
-            hll.update(joined)
+            hll.update_hashes(hash64(combined, seed=99))
             rows.append(sketch_row(self.table, f"hll:{'|'.join(key)}",
                                    hll.to_bytes(), n))
         for col in self.cm_columns:
             if col not in batch.column_names:
                 continue
-            vals = np.asarray(batch[col].cast(pa.string()).combine_chunks()
-                              ).astype(object)
-            vals = vals[vals != None]  # noqa: E711
+            # pre-aggregate: enum columns have tiny cardinality, so update
+            # the sketch with (distinct value, count) instead of hashing
+            # every row 4× (one Arrow value_counts vs depth× full-array work)
+            vc = pc.value_counts(batch[col].cast(pa.string()).combine_chunks())
+            uniq = np.asarray(vc.field("values").to_pandas(), dtype=object)
+            counts = np.asarray(vc.field("counts")).astype(np.int64)
+            keep = np.array([u is not None for u in uniq], dtype=bool)
             cm = CountMin()
-            cm.update(vals)
+            cm.update(uniq[keep], counts[keep])
             rows.append(sketch_row(self.table, f"cm:{col}", cm.to_bytes(), n))
         if not rows:
             return FINDINGS_SCHEMA.empty_table()

@@ -95,16 +95,35 @@ class BatchValidator:
     Stateless w.r.t. data; holds only the compiled rule kernels.  Used as a
     plain function object so Ray schedules it as cheap stateless tasks; the
     compile step runs once on the driver (pickled kernels are small —
-    regex patterns and vocab arrays)."""
+    regex patterns and vocab arrays).
+
+    Optional fused stages (so the wide input is read ONCE per run):
+
+    - ``sketch_spec=(hll_keys, cm_columns)`` — emit the per-batch sketch
+      partial rows inline (see stages/sketch.SketchStage for the
+      stand-alone actor-pool variant);
+    - ``ref_rules_keys=[(RefRule, object_ref_of_key_array)]`` — broadcast
+      referential anti-join evaluated per batch (small target side,
+      ``ray.put`` once on the driver).
+    """
 
     def __init__(self, table_rules: TableRules, sample_k: int = 1000,
-                 emit_violations: bool = True):
+                 emit_violations: bool = True, sketch_spec=None,
+                 ref_rules_keys=None):
         self.table = table_rules.table
         self.locator = table_rules.locator
         self.sample_k = sample_k
         self.emit_violations = emit_violations
         self.rules = [r for r in table_rules.active_fields()]
         self.compiled = {r.field: CompiledFieldRule(r) for r in self.rules}
+        self.sketch_spec = sketch_spec
+        self.ref_rules_keys = list(ref_rules_keys or [])
+        self._sketcher = None
+        if sketch_spec is not None:
+            from crn_meta_validate_ray.stages.sketch import SketchStage
+            self._sketcher = SketchStage(self.table,
+                                         hll_keys=sketch_spec[0],
+                                         cm_columns=sketch_spec[1])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -189,4 +208,36 @@ class BatchValidator:
             else:
                 flat = np.concatenate([np.asarray(c, dtype=object) for c in chunks])
                 arrays.append(pa.array(flat, type=fld.type))
-        return pa.Table.from_arrays(arrays, schema=FINDINGS_SCHEMA)
+        result = pa.Table.from_arrays(arrays, schema=FINDINGS_SCHEMA)
+
+        extras = []
+        if self._sketcher is not None:
+            extras.append(self._sketcher(batch))
+        if self.ref_rules_keys:
+            extras.append(self._ref_check(batch, row_key, sort_key))
+        if extras:
+            result = pa.concat_tables([result] + extras)
+        return result
+
+    def _ref_check(self, batch: pa.Table, row_key, sort_key) -> pa.Table:
+        import ray
+
+        from crn_meta_validate_ray.stages.refcheck import _violation_table
+
+        out = [empty_findings()]
+        for rule, keys_ref in self.ref_rules_keys:
+            keys = ray.get(keys_ref) if not isinstance(keys_ref, pa.Array) \
+                else keys_ref
+            if rule.column not in batch.column_names:
+                continue
+            col = pc.cast(batch[rule.column], pa.string())
+            ok = pc.is_in(col, value_set=keys)
+            bad = np.nonzero(
+                ~np.asarray(pc.fill_null(ok, False).combine_chunks()))[0]
+            if bad.size:
+                take = pa.array(bad)
+                out.append(_violation_table(
+                    self.table, rule,
+                    pc.take(_combine(col), take),
+                    pc.take(row_key, take), pc.take(sort_key, take)))
+        return pa.concat_tables(out)

@@ -37,16 +37,36 @@ def add_tumbling_window(ds: "rd.Dataset", ts_col: str, window_s: int,
 def tumbling_aggregate(ds: "rd.Dataset", *, ts_col: str = "ts",
                        key_col: str = "event_type", value_col: str = "value",
                        window_s: int = 3600) -> "rd.Dataset":
-    """count/sum/mean/min/max of ``value_col`` per (key, tumbling window)."""
+    """count/sum/mean/min/max of ``value_col`` per (key, tumbling window).
+
+    Two-phase: batch-local partial aggregates (the combiner — one row per
+    (key, window) per batch) then a bounded hash-bucket merge; only the tiny
+    partial stream moves through the exchange, never the raw events."""
+    from crn_meta_validate_ray.stages.common import grouped_map
+
     win = add_tumbling_window(
         ds.select_columns([ts_col, key_col, value_col]), ts_col, window_s)
-    return win.groupby([key_col, "window_start"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum(value_col, alias_name="sum_value"),
-        Mean(value_col, alias_name="mean_value"),
-        Min(value_col, alias_name="min_value"),
-        Max(value_col, alias_name="max_value"),
-    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby([key_col, "window_start"], sort=False)[value_col] \
+            .agg(n_events="size", sum_value="sum", min_value="min",
+                 max_value="max").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = win.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key_col, "window_start"], sort=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"),
+            min_value=("min_value", "min"), max_value=("max_value", "max"),
+        ).reset_index()
+        g["mean_value"] = g["sum_value"] / g["n_events"]
+        return g[[key_col, "window_start", "n_events", "sum_value",
+                  "mean_value", "min_value", "max_value"]]
+
+    return grouped_map(parts, [key_col, "window_start"], merge)
 
 
 def sessionize(ds: "rd.Dataset", *, user_col: str = "user_id",
@@ -55,30 +75,38 @@ def sessionize(ds: "rd.Dataset", *, user_col: str = "user_id",
     """Session windows per user: events sorted by ts within the user group;
     a gap > ``gap_s`` starts a new session.  Output: one row per session
     (user, session_idx, n_events, start/end ts, duration_s[, sum_value])."""
+    from crn_meta_validate_ray.stages.common import grouped_map
+
     cols = [user_col, ts_col] + ([value_col] if value_col else [])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_session = np.zeros(len(ts), dtype=bool)
-        if len(ts) > 1:
-            new_session[1:] = np.diff(ts) > gap_s * 1_000_000
-        sid = np.cumsum(new_session)
-        out = {"user_id": [], "session_idx": [], "n_events": [],
-               "start_ts": [], "end_ts": [], "duration_s": []}
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all events of a user are co-located in this bucket; one sort and
+        # one vectorized pass assigns session ids across *all* users at once
+        df = df.sort_values([user_col, ts_col], kind="stable")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        users = df[user_col].to_numpy()
+        new_session = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            same_user = users[1:] == users[:-1]
+            small_gap = np.diff(ts) <= gap_s * 1_000_000
+            new_session[1:] = ~(same_user & small_gap)
+        sid_global = np.cumsum(new_session) - 1
+        df = df.assign(__sid=sid_global, __ts_us=ts)
+        agg = {"__ts_us": ["size", "min", "max"]}
+        g = df.groupby([user_col, "__sid"], sort=False)
+        out = g["__ts_us"].agg(n_events="size", start_ts="min",
+                               end_ts="max").reset_index()
+        # session_idx = per-user 0-based rank of the global session id
+        out["session_idx"] = out.groupby(user_col, sort=False)["__sid"] \
+            .rank(method="dense").astype(np.int64) - 1
+        out["duration_s"] = (out["end_ts"] - out["start_ts"]) / 1e6
+        res = out.rename(columns={user_col: "user_id"})[
+            ["user_id", "session_idx", "n_events", "start_ts", "end_ts",
+             "duration_s"]]
+        res["n_events"] = res["n_events"].astype(np.int64)
         if value_col:
-            out["sum_value"] = []
-        for s in range(sid.max() + 1 if len(sid) else 0):
-            mask = sid == s
-            out["user_id"].append(g[user_col].iloc[0])
-            out["session_idx"].append(int(s))
-            out["n_events"].append(int(mask.sum()))
-            out["start_ts"].append(int(ts[mask][0]))
-            out["end_ts"].append(int(ts[mask][-1]))
-            out["duration_s"].append(float((ts[mask][-1] - ts[mask][0]) / 1e6))
-            if value_col:
-                out["sum_value"].append(float(g[value_col].to_numpy()[mask].sum()))
-        return pd.DataFrame(out)
+            sums = g[value_col].sum().reset_index(drop=True)
+            res["sum_value"] = sums.astype(np.float64)
+        return res
 
-    return ds.select_columns(cols).groupby(user_col).map_groups(
-        per_user, batch_format="pandas")
+    return grouped_map(ds.select_columns(cols), [user_col], per_bucket)

@@ -36,12 +36,13 @@ def hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
         h = pd.util.hash_array(np.asarray(values, dtype=object),
                                hash_key="{:016d}".format(seed)).astype(np.uint64)
         return h
-    h ^= np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
-    h ^= h >> np.uint64(30)
-    h *= np.uint64(0xBF58476D1CE4E5B9)
-    h ^= h >> np.uint64(27)
-    h *= np.uint64(0x94D049BB133111EB)
-    h ^= h >> np.uint64(31)
+    with np.errstate(over="ignore"):  # modular 64-bit arithmetic intended
+        h ^= np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
     return h
 
 
@@ -53,22 +54,14 @@ class HyperLogLog:
 
     def update_hashes(self, h: np.ndarray):
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        # remaining bits shifted to the top, with a guard bit so the
-        # leading-zero scan always terminates within 64-p+1 steps
+        # remaining bits shifted to the top, with a guard bit so bits != 0
+        # and the rank is bounded by 64-p+1
         bits = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        mask_hi = np.uint64(1) << np.uint64(63)
-        maxrank = 64 - self.p + 1
-        rank = np.zeros(len(h), dtype=np.uint8)
-        found = np.zeros(len(h), dtype=bool)
-        for i in range(maxrank):
-            top = (bits & mask_hi) != 0
-            newly = top & ~found
-            if newly.any():
-                rank[newly] = i + 1
-            found |= top
-            if found.all():
-                break
-            bits = bits << np.uint64(1)
+        # leading-zero count via log2: rank = 64 - floor(log2(bits)).
+        # float64 rounding can mis-rank a ~1e-16 fraction of hashes by one —
+        # immaterial to the estimator and fully deterministic.
+        fl = np.floor(np.log2(bits.astype(np.float64)))
+        rank = np.clip(64 - fl, 1, 64 - self.p + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
 
     def update(self, values: np.ndarray, seed: int = 0):
@@ -113,7 +106,8 @@ class CountMin:
             counts = np.ones(len(values), dtype=np.int64)
         for d in range(self.depth):
             idx = (hash64(values, seed=d + 1) % np.uint64(self.width)).astype(np.int64)
-            np.add.at(self.table[d], idx, counts)
+            self.table[d] += np.bincount(idx, weights=counts,
+                                         minlength=self.width).astype(np.int64)
 
     def query(self, value) -> int:
         v = np.asarray([value])
