@@ -87,11 +87,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q.fingerprint_documents,
         "quality_documents": q.quality_documents,
         "langid_documents": q.langid_documents,
+        "dedup_keep_first_documents": q.dedup_keep_first_documents,
         "minhash_pairs_documents": q.minhash_pairs_documents,
         "simhash_pairs_documents": q.simhash_pairs_documents,
         # similarity search
         "knn_embeddings": q.knn_embeddings,
+        "lsh_ann_embeddings": q.lsh_ann_embeddings,
         "near_dup_embeddings": q.near_dup_embeddings,
+        # multimodal plumbing (stubbed decoder; rows-only)
+        "media_decode_features": q.media_decode_features,
         # windowed / stream-shaped
         "tumbling_events": q.tumbling_events,
         "sessions_events": q.sessions_events,
@@ -197,6 +201,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_documents": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "dedup_keep_first_documents": """
+            SELECT d.doc_id, d.text, d.lang FROM documents d
+            JOIN (SELECT text, min(doc_id) AS keep FROM documents
+                  GROUP BY text) k
+              ON d.doc_id = k.keep
         """,
         "tumbling_events": """
             SELECT event_type,

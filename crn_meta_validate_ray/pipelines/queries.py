@@ -464,3 +464,53 @@ def transcript_verdict(sf_dir: str):
     for cid, n in sorted(run.extras["violation_counts"].items()):
         rows.append({"metric": f"violations:{cid}", "value": float(n)})
     return pa.Table.from_pylist(rows)
+
+
+def dedup_keep_first_documents(sf_dir: str):
+    """Full-row exact dedup, keeper = min doc_id per content (D5 scale
+    path) — SQL-expressible via a min-id semi-join."""
+    from crn_meta_validate_ray.stages.dedup import exact_dedup_keep_first
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang"])
+    out = exact_dedup_keep_first(ds)
+    return collect_with_schema(out, pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string())]))
+
+
+def lsh_ann_embeddings(sf_dir: str):
+    """Hyperplane-LSH bucketed approximate top-k (scale path of
+    knn_embeddings; recall < 1 by construction → rows-only check)."""
+    import pyarrow.parquet as pq
+
+    from crn_meta_validate_ray.stages.similarity import lsh_ann
+    head = pq.read_table(_p(sf_dir, "embeddings")).slice(0, 3)
+    queries = np.asarray(head["embedding"].combine_chunks().flatten(),
+                         dtype=np.float32).reshape(3, -1)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out = lsh_ann(ds, queries, k=5, n_planes=6)
+    return collect_with_schema(out, pa.schema([
+        ("query_idx", pa.int64()), ("rank", pa.int64()),
+        ("vec_id", pa.int64()), ("score", pa.float64())]))
+
+
+def media_decode_features(sf_dir: str):
+    """Multimodal plumbing: synthetic binary media table → actor-pool
+    decode stage (deterministic stub) → fixed-size features (rows-only)."""
+    from crn_meta_validate_ray.stages.multimodal import (decode_media,
+                                                         synth_media_table)
+    ds = rd.from_arrow(synth_media_table(256))
+    out = decode_media(ds, dim=8, fake=True, batch_size=32)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        feats = t["feature"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        flat = np.asarray(feats.flatten(), dtype=np.float64)
+        s = flat.reshape(t.num_rows, -1).sum(axis=1)
+        return pa.table({"media_id": t["media_id"], "kind": t["kind"],
+                         "feature_sum": pa.array(np.round(s, 4))})
+
+    return out.map_batches(project, batch_format="pyarrow")

@@ -526,3 +526,26 @@ def validate_dataset(
                          findings_path=findings_path,
                          extras={"sketches": sketches,
                                  "violation_counts": counts, **extras})
+
+
+def validate_against_versions(ds: "rd.Dataset",
+                              versions: "dict[str, TableRules]",
+                              **kwargs) -> dict:
+    """Validate the same dataset against several registry versions (the
+    reference's old-CDE toggle, app.py:865-932, :951-963: re-run validation
+    with a different rule registry and compare verdicts).  Returns
+    {version_name: ValidationRun} plus a "__comparison__" entry summarising
+    verdict deltas."""
+    runs = {name: validate_dataset(ds, rules, **kwargs)
+            for name, rules in versions.items()}
+    names = list(runs)
+    comparison = {
+        "versions": names,
+        "errors": {n: runs[n].errors for n in names},
+        "warnings": {n: runs[n].warnings for n in names},
+        "verdicts": {n: runs[n].passed for n in names},
+        "agree": len({runs[n].passed for n in names}) == 1,
+    }
+    out: dict = dict(runs)
+    out["__comparison__"] = comparison
+    return out

@@ -239,3 +239,29 @@ def test_string_typed_corpus_with_V3(ray_session, tmp_path):
     got = {(r["column"], r["constraint_id"], r["row_key"], r["value"])
            for r in run.violations.take_all()}
     assert got == want
+
+
+def test_dual_registry_versions(ray_session):
+    """Old-vs-new registry toggle (reference app.py:865-932): same data,
+    two rule versions, comparable verdicts."""
+    from crn_meta_validate_ray.pipelines.validate_pipeline import (
+        validate_against_versions,
+    )
+    t = pa.table({"pk": [1, 2], "req_enum": ["a", "x"], "opt_str": ["s", "t"],
+                  "req_missing_col": ["ok", "ok"],
+                  "opt_missing_col": ["z", "z"]})
+    new_rules = _mini_rules()
+    old_rules = TableRules(
+        table="mini", locator=("pk",),
+        fields=[FieldRule("pk", "Required", "Integer"),
+                FieldRule("req_enum", "Required", "Enum", ["a", "x"]),
+                FieldRule("opt_str", "Optional", "String"),
+                FieldRule("req_missing_col", "Required", "String"),
+                FieldRule("opt_missing_col", "Optional", "String")])
+    out = validate_against_versions(rd.from_arrow(t),
+                                    {"v_old": old_rules, "v_new": new_rules})
+    cmp_ = out["__comparison__"]
+    # old vocab accepts 'x' → clean pass; new vocab rejects it → error
+    assert cmp_["verdicts"] == {"v_old": True, "v_new": False}
+    assert cmp_["errors"] == {"v_old": 0, "v_new": 1}
+    assert not cmp_["agree"]
