@@ -40,6 +40,47 @@ class MinHasher:
     def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float((sig_a == sig_b).mean())
 
+    def batch_signatures_chars(self, texts: list, k: int = 5) -> np.ndarray:
+        """(n_docs, H) signatures over byte-level k-gram shingles, fully
+        vectorized: one rolling-window hash over the concatenated utf-8
+        buffer, then per-hash-function affine transform + segmented min
+        (``np.minimum.reduceat``).  No Python loop over documents."""
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        n = len(texts)
+        if n == 0:
+            return np.empty((0, self.num_hashes), dtype=np.uint64)
+        bufs = [(t or "").encode("utf-8") for t in texts]
+        bufs = [b if len(b) >= k else b.ljust(k, b"\0") for b in bufs]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        n_windows = lens - k + 1
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        total = int(n_windows.sum())
+        # rows of the sliding window view belonging to in-document windows
+        seg_end = np.cumsum(n_windows)
+        within = np.arange(total) - np.repeat(seg_end - n_windows, n_windows)
+        rows = np.repeat(starts, n_windows) + within
+        W = sliding_window_view(buf, k)[rows].astype(np.uint64)
+        with np.errstate(over="ignore"):
+            powers = np.array(
+                [pow(1099511628211, j, 1 << 64) for j in range(k)],
+                dtype=np.uint64)
+            h = (W * powers[None, :]).sum(axis=1)
+            # splitmix-style finalizer (matches state.sketches.hash64 shape)
+            h ^= h >> np.uint64(30)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(27)
+            h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(31)
+        offsets = np.concatenate(([0], seg_end[:-1]))
+        sigs = np.empty((n, self.num_hashes), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(self.num_hashes):
+                x = (self.a[i] * h + self.b[i]) % _MERSENNE_P
+                sigs[:, i] = np.minimum.reduceat(x, offsets)
+        return sigs
+
 
 def band_hashes(signature: np.ndarray, bands: int) -> np.ndarray:
     """(bands,) int64 hash per band of the signature."""

@@ -86,25 +86,47 @@ class _SignatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        band_id: list[int] = []
-        band_hash: list[int] = []
-        out_id: list = []
-        sigs: list = []
-        grams: list = []
-        for i, t in enumerate(texts):
-            t = t or ""
-            sh = (word_ngrams(t, self.shingle_k) if self.use_word_ngrams
-                  else char_shingles(t, self.shingle_k))
-            sig = self.hasher.signature(sh)
-            bh = band_hashes(sig, self.bands)
-            sig_l = sig.astype(np.int64).tolist()
-            g_l = sh.astype(np.int64).tolist() if self.carry_ngrams else []
-            for b in range(self.bands):
-                band_id.append(b)
-                band_hash.append(int(bh[b]))
-                out_id.append(ids[i])
-                sigs.append(sig_l)
-                grams.append(g_l)
+        n = len(texts)
+        if n == 0:
+            return pa.table({
+                "band_id": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.list_(pa.int64())),
+                "grams": pa.array([], type=pa.list_(pa.int64())),
+            })
+        if not self.use_word_ngrams and not self.carry_ngrams:
+            # fast path: batched byte-shingle signatures, no per-doc loop
+            sigs_m = self.hasher.batch_signatures_chars(texts, self.shingle_k)
+            grams_per_doc = [[]] * n
+        else:
+            sigs_m = np.empty((n, self.hasher.num_hashes), dtype=np.uint64)
+            grams_per_doc = []
+            for i, t in enumerate(texts):
+                t = t or ""
+                sh = (word_ngrams(t, self.shingle_k) if self.use_word_ngrams
+                      else char_shingles(t, self.shingle_k))
+                sigs_m[i] = self.hasher.signature(sh)
+                grams_per_doc.append(
+                    sh.astype(np.int64).tolist() if self.carry_ngrams else [])
+        # band hashes for all docs at once: polynomial fold per band
+        rows_per_band = self.hasher.num_hashes // self.bands
+        sig_resh = sigs_m[:, : self.bands * rows_per_band] \
+            .reshape(n, self.bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((n, self.bands), dtype=np.uint64)
+            mult = np.uint64(1099511628211)
+            for j in range(rows_per_band):
+                bh = bh * mult + sig_resh[:, :, j]
+        bh = bh.astype(np.int64)
+
+        sig_lists = sigs_m.astype(np.int64).tolist()
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        band_hash = bh.reshape(-1)
+        out_id = np.repeat(np.asarray(ids), self.bands)
+        sigs = [sig_lists[i] for i in range(n) for _ in range(self.bands)]
+        grams = [grams_per_doc[i] for i in range(n)
+                 for _ in range(self.bands)]
         return pa.table({
             "band_id": pa.array(band_id, type=pa.int32()),
             "band_hash": pa.array(band_hash, type=pa.int64()),
