@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship transcript engine (non-SQL: full constraint suite)
         "transcript_violations": q.transcript_violations,
         "transcript_verdict": q.transcript_verdict,
+        "transcript_resumable": q.transcript_resumable,
     }
 
 

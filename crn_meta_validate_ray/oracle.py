@@ -169,3 +169,25 @@ def oracle_report(df: pd.DataFrame, rules: TableRules,
                                                  include_details)
     return {"report": rep, "errors": errors, "warnings": warnings,
             "result": res, "normalized": norm}
+
+
+def validate_table_core(df: pd.DataFrame, table_name: str,
+                        rules: TableRules | None = None,
+                        report: ReportCollector | None = None,
+                        include_details: bool = True) -> dict:
+    """Single-process convenience mirroring the reference's Streamlit-free
+    public API (utils/validate_core.py:488-531, added "for external calls"
+    per its CHANGELOG): normalize → evaluate → compose.  Returns
+    {"report", "errors", "warnings"}.  For distributed inputs use
+    pipelines.validate_pipeline.validate_dataset."""
+    if rules is None:
+        raise ValueError("rules (TableRules) is required")
+    if rules.table != table_name:
+        rules = TableRules(table=table_name, fields=rules.fields,
+                           locator=rules.locator)
+    out = oracle_report(df, rules, include_details=include_details)
+    if report is not None:
+        report.entries.extend(out["report"].entries)
+        out["report"] = report
+    return {"report": out["report"], "errors": out["errors"],
+            "warnings": out["warnings"]}

@@ -514,3 +514,32 @@ def media_decode_features(sf_dir: str):
                          "feature_sum": pa.array(np.round(s, 4))})
 
     return out.map_batches(project, batch_format="pyarrow")
+
+
+def transcript_resumable(sf_dir: str):
+    """Kill-and-resume driver check: run the partitioned pipeline limited to
+    2 partitions (simulated kill), resume to completion, and emit the merged
+    verdict — identical to a fresh full run by construction (rows-only)."""
+    import shutil
+    import tempfile
+
+    from crn_meta_validate_ray.registry import transcript_rules
+    from crn_meta_validate_ray.pipelines.resumable import run_resumable
+
+    info = _transcript_corpus(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="resumable_q_")
+    try:
+        rules = transcript_rules()
+        first = run_resumable(info["turns_dir"], info["conversations"],
+                              out_dir, rules, max_partitions=2)
+        assert first is None  # killed before completion
+        run = run_resumable(info["turns_dir"], info["conversations"],
+                            out_dir, rules)
+        rows = [{"metric": "resumed_errors", "value": float(run.errors)},
+                {"metric": "resumed_warnings", "value": float(run.warnings)},
+                {"metric": "n_rows", "value": float(run.n_rows)}]
+        for cid, n in sorted(run.extras["violation_counts"].items()):
+            rows.append({"metric": f"violations:{cid}", "value": float(n)})
+        return pa.Table.from_pylist(rows)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

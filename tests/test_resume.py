@@ -87,3 +87,27 @@ def test_constraint_change_invalidates_manifests(corpus, tmp_path):
     assert all(after[f] > before[f] for f in before)
     # stricter enum now flags 'tool' roles too
     assert run2.extras["violation_counts"]["enum:role"] > 0
+
+
+def test_validate_table_core_public_api():
+    """Headless public API parity surface (reference validate_table_core,
+    utils/validate_core.py:488-531)."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.oracle import validate_table_core
+    from crn_meta_validate_ray.registry import transcript_rules
+    from crn_meta_validate_ray.report import ReportCollector
+
+    df = pd.DataFrame({
+        "conv_id": ["conv_00000001", "NOPE"], "turn_idx": ["0", "1"],
+        "role": ["system", "wizard"], "text": ["a", ""],
+        "tool": ["NA", "NA"], "ts": ["2024-01-01", "2024-01-01"]})
+    rep = ReportCollector()
+    rep.add_header("custom")
+    out = validate_table_core(df, "turns", transcript_rules(), report=rep)
+    # errors: invalid conv_id + invalid role; warnings: all-null optional
+    # `tool` column + partial-null `text`
+    assert out["errors"] == 2 and out["warnings"] == 2
+    assert out["report"] is rep
+    log = rep.get_log()
+    assert log.startswith("# custom") and "'wizard'" in log
