@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -25,7 +24,6 @@ from crn_meta_validate_ray.registry import (
     RefRule,
     SeqRule,
     TableRules,
-    UniqueRule,
 )
 from crn_meta_validate_ray.functions.nulls import missing_mask
 from crn_meta_validate_ray.functions.text import (

@@ -46,7 +46,6 @@ from crn_meta_validate_ray.pipelines.validate_pipeline import (
     ValidationRun,
     build_eval_result,
     extension_summaries,
-    merge_colstats_driver,
     merge_sketches_driver,
     validate_dataset,
     violation_counts,

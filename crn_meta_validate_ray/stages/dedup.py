@@ -26,7 +26,6 @@ from ray.data.aggregate import Count, Min
 
 from crn_meta_validate_ray.functions.hashing import (
     MinHasher,
-    band_hashes,
     hamming64,
     simhash64,
 )

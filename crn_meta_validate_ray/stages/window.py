@@ -17,7 +17,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def add_tumbling_window(ds: "rd.Dataset", ts_col: str, window_s: int,
