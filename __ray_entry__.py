@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_violations_lineitem": q.sequence_violations_lineitem,
         "unique_violations_lineitem": q.unique_violations_lineitem,
         "ref_orphans_orders": q.ref_orphans_orders,
+        "asof_latest_order": q.asof_latest_order,
         # relational / aggregation (SURVEY §2.5/2.6)
         "pricing_summary": q.pricing_summary,
         "top_orders": q.top_orders,
@@ -161,6 +162,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o.o_custkey FROM orders o
             LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_custkey IS NULL
+        """,
+        "asof_latest_order": """
+            WITH r AS (
+                SELECT o_custkey, o_orderdate,
+                       max(o_totalprice) AS o_totalprice
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, r.o_orderdate,
+                   round(r.o_totalprice, 2) AS o_totalprice
+            FROM events e
+            ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

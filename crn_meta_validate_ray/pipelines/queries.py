@@ -541,3 +541,35 @@ def transcript_resumable(sf_dir: str):
         return pa.Table.from_pylist(rows)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def asof_latest_order(sf_dir: str):
+    """As-of join (custom operator): for each event, the customer's most
+    recent order at or before the event time.  The right side is
+    pre-aggregated to one row per (customer, date) so tie-breaking is
+    deterministic on both engines."""
+    from ray.data.aggregate import Max
+
+    from crn_meta_validate_ray.stages.asof import asof_join
+
+    events = rd.read_parquet(_p(sf_dir, "events"),
+                             columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(_p(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+    right = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Max("o_totalprice", alias_name="o_totalprice"))
+    out = asof_join(events, right, left_key="user_id",
+                    right_key="o_custkey", left_ts="ts",
+                    right_ts="o_orderdate",
+                    right_value_cols=["o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "o_orderdate": t["o_orderdate"],
+            "o_totalprice": pc.round(t["o_totalprice"], 2),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")

@@ -53,3 +53,36 @@ def test_sessionize_gap_splits(ray_session):
     assert len(by_user[2]) == 2
     assert sorted(r["n_events"] for r in by_user[2]) == [1, 2]
     assert abs(sum(r["sum_value"] for r in by_user[2]) - 15.0) < 1e-9
+
+
+def test_asof_join_backward(ray_session):
+    """As-of join: each left row gets the latest right row at or before its
+    timestamp within the key (custom operator; see stages/asof.py)."""
+    import math
+
+    import numpy as np
+
+    from crn_meta_validate_ray.stages.asof import asof_join
+
+    t = lambda s: np.datetime64(s, "us")  # noqa: E731
+    left = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([t("2024-01-01T10:00"), t("2024-01-01T12:00"),
+                        t("2024-01-01T09:00"), t("2024-01-02T00:00"),
+                        t("2024-01-01T00:00")]),
+        "event_type": ["click", "view", "click", "view", "click"]}))
+    right = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([t("2024-01-01T09:30"),
+                                 t("2024-01-01T11:00"),
+                                 t("2024-01-01T12:00")]),
+        "o_totalprice": [10.0, 20.0, 99.0]}))
+    out = asof_join(left, right, left_key="user_id", right_key="o_custkey",
+                    left_ts="ts", right_ts="o_orderdate",
+                    right_value_cols=["o_totalprice"]).to_pandas()
+    out = out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    vals = out["o_totalprice"].tolist()
+    assert math.isnan(vals[0]) and vals[1] == 10.0 and vals[2] == 20.0
+    assert math.isnan(vals[3]) and vals[4] == 99.0
+    assert list(out.columns) == ["user_id", "ts", "event_type",
+                                 "o_orderdate", "o_totalprice"]
