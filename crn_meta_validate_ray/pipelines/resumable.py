@@ -76,10 +76,17 @@ def run_resumable(
     batch_size: int = 8192,
     salt_every: int = 65536,
     max_partitions: int | None = None,
+    files_per_partition: int = 1,
 ) -> ValidationRun | None:
     """Execute (or resume) a partitioned validation run.  Returns the merged
     ValidationRun, or None when ``max_partitions`` stopped the run early
-    (simulating a kill)."""
+    (simulating a kill).
+
+    ``files_per_partition`` sets the resume granularity: each partition
+    (file group) is one Dataset run with its own committed manifest.  Size
+    it so one partition is a few minutes of work — per-partition fixed
+    overhead (~seconds) must stay small relative to its compute, while a
+    retry after a kill only repeats one partition."""
     files = _list_parquet_files(turns_path)
     cs_hash = ConstraintSet().add(rules).content_hash()
     store = ManifestStore(os.path.join(out_dir, "manifests"))
@@ -89,15 +96,19 @@ def run_resumable(
                             locator=rules.locator,
                             null_rates=rules.null_rates)
 
+    g = max(1, files_per_partition)
+    groups = [files[i:i + g] for i in range(0, len(files), g)]
     done = 0
-    for f in files:
-        pid = os.path.splitext(os.path.basename(f))[0]
-        if store.is_valid(pid, [f], cs_hash):
+    for group in groups:
+        pid = os.path.splitext(os.path.basename(group[0]))[0]
+        if len(group) > 1:
+            pid += f"__x{len(group)}"
+        if store.is_valid(pid, group, cs_hash):
             continue
         if max_partitions is not None and done >= max_partitions:
             return None
         part_dir = os.path.join(out_dir, "partitions", pid)
-        ds = rd.read_parquet(f)
+        ds = rd.read_parquet(group)
         extra = []
         sk = sketch_findings(ds, rules)
         if sk is not None:
@@ -106,8 +117,8 @@ def run_resumable(
                                batch_size=batch_size, extra_findings=extra,
                                include_details=False)
         store.commit(pid, {
-            "input_files": sorted([f]),
-            "input_bytes": os.path.getsize(f),
+            "input_files": sorted(group),
+            "input_bytes": sum(os.path.getsize(f) for f in group),
             "constraint_hash": cs_hash,
             "n_rows": run.n_rows,
             "schema_names": list(ds.schema().names),
