@@ -134,19 +134,24 @@ def validate_transcripts(
             ref_rules_keys.append((ref_col, ray.put(distinct)))
         else:
             fk_cols = sorted({ref_col.column} | set(rules.locator) & available)
-            fk = rd.read_parquet(turns_path, columns=fk_cols)
-            rf = referential_findings(fk, rules,
-                                      {ref_col.target_table: convs},
-                                      mode="shuffle")
-            if rf is not None:
-                extra.append(rf)
+
+            def _shuffle_ref(fk_cols=fk_cols, ref_col=ref_col, convs=convs):
+                fk = rd.read_parquet(turns_path, columns=fk_cols)
+                return referential_findings(fk, rules,
+                                            {ref_col.target_table: convs},
+                                            mode="shuffle")
+
+            extra.append(_shuffle_ref)
 
     if narrow_cols:
-        gc = group_check_findings(
-            rd.read_parquet(turns_path, columns=narrow_cols), rules,
-            salt_every=salt_every)
-        if gc is not None:
-            extra.append(gc)
+        # passed as a thunk: the group-check exchange executes eagerly, so
+        # validate_dataset runs it in a thread overlapping the fused pass
+        def _group_check(narrow_cols=narrow_cols):
+            return group_check_findings(
+                rd.read_parquet(turns_path, columns=narrow_cols), rules,
+                salt_every=salt_every)
+
+        extra.append(_group_check)
 
     return validate_dataset(turns_full, rules, mode=mode, out_dir=out_dir,
                             batch_size=batch_size, extra_findings=extra,

@@ -475,14 +475,25 @@ def validate_dataset(
                                ref_rules_keys=ref_rules_keys)
     findings = ds.map_batches(validator, batch_format="pyarrow",
                               batch_size=batch_size, zero_copy_batch=True)
-    for extra in extra_findings or []:
-        if extra is not None:
-            findings = findings.union(extra)
+
+    # extra_findings entries may be Datasets or zero-arg THUNKS that build
+    # one.  Thunks are resolved in worker threads concurrently with the main
+    # pass so an eager exchange (grouped_map executes at build time) overlaps
+    # the fused per-cell materialization instead of serializing before it.
+    extras_in = [e for e in (extra_findings or []) if e is not None]
+    thunks = [e for e in extras_in if callable(e)]
+    ready = [e for e in extras_in if not callable(e)]
 
     findings_path = None
     if mode == "write":
         if not out_dir:
             raise ValueError("mode='write' requires out_dir")
+        for t in thunks:
+            out = t()
+            if out is not None:
+                ready.append(out)
+        for extra in ready:
+            findings = findings.union(extra)
         findings_path = os.path.join(out_dir, "findings")
         # write to a fresh temp dir then swap — a retried/rewritten partition
         # must not append to (and double-count) a previous attempt's files
@@ -498,7 +509,22 @@ def validate_dataset(
                                                       sample_k)
         violations = _read_kind(findings_path, "violation")
     else:
-        mat = findings.materialize()
+        if thunks:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+                futures = [ex.submit(t) for t in thunks]
+                mat = findings.materialize()
+                for f in futures:
+                    out = f.result()
+                    if out is not None:
+                        ready.append(out)
+        else:
+            mat = findings.materialize()
+        all_f = mat
+        for extra in ready:
+            all_f = all_f.union(extra)
+        mat = all_f.materialize() if ready else mat
         colstats, counts, sketches = fold_findings(
             mat.iter_batches(batch_size=1 << 16, batch_format="pyarrow"),
             rules, sample_k)
