@@ -19,7 +19,10 @@ import pyarrow.compute as pc
 
 from crn_meta_validate_ray.registry import NULL_LIKE_TOKENS, NULL_SENTINEL
 
-_BLANK_RE = r"^\s*$"
+# Python's re (the reference's engine) counts \x1c-\x1f, \x85 and Unicode
+# separators as \s; RE2's \s is ASCII-only, so the class is widened to match
+# pandas ``str.fullmatch(r"\s*")`` exactly (found by hypothesis).
+_BLANK_RE = r"^[\s\x0b\x1c-\x1f\x85\p{Z}]*$"
 _NULL_LIKE_ARR = pa.array(list(NULL_LIKE_TOKENS), type=pa.string())
 
 

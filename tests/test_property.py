@@ -1,0 +1,58 @@
+"""Property-based parity: the vectorized Arrow kernels must agree with the
+single-process pandas oracle on arbitrary cell content, for every datatype
+(the reference's semantics are the contract; hypothesis hunts the edges —
+whitespace variants, unicode, numeric look-alikes, token soup)."""
+
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from crn_meta_validate_ray.functions.checks import CompiledFieldRule
+from crn_meta_validate_ray.functions.nulls import normalize_null_like
+from crn_meta_validate_ray.oracle import _cell_valid, oracle_normalize
+from crn_meta_validate_ray.registry import FieldRule
+
+# cells that stress the null model, numeric parsing and token splitting
+cell = st.one_of(
+    st.sampled_from(["", " ", "  \t ", "NA", "nan", "NaN", "none", "None",
+                     "N/A", "n/a", "null", "Na", "0", "1", "-1", "3.0",
+                     "3.5", "1e3", " 7 ", "+5", "-0.0", "inf", "-inf",
+                     "0x1A", "1_000", "a;b", "a; b", ";", ";;", "a;;b",
+                     "A", "b", "c", "other", "2024-01-01",
+                     "2024-01-01T10:00:00", "not a date"]),
+    st.text(max_size=12),
+)
+
+RULES = [
+    FieldRule("x", "Required", "Integer", fillnull=["unk"]),
+    FieldRule("x", "Required", "Float"),
+    FieldRule("x", "Required", "Enum", ["a", "b", "c"], fillnull=["NA"]),
+    FieldRule("x", "Optional", "Enum", ["a", "b"], fillnull=["other"],
+              allow_multi=True),
+    FieldRule("x", "Required", "Regex", r"[a-z]{1,3}[0-9]*"),
+    FieldRule("x", "Required", "String"),
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(values=st.lists(cell, min_size=1, max_size=20))
+def test_kernels_match_oracle_per_datatype(values):
+    arr = pa.array(values, type=pa.string())
+    for rule in RULES:
+        kernel = CompiledFieldRule(rule)
+        valid, strvals, n_null = kernel.check(arr)
+        # oracle path: normalize then per-cell check
+        norm = oracle_normalize(pd.DataFrame({"x": values}))["x"]
+        want = _cell_valid(rule, norm.astype("string"))
+        assert list(valid) == want.tolist(), (
+            f"{rule.datatype} diverged on {values!r}")
+        # null census identical
+        assert n_null == int((norm == "NA").sum())
+
+
+@settings(max_examples=200, deadline=None)
+@given(values=st.lists(st.one_of(st.none(), cell), min_size=1, max_size=20))
+def test_normalization_matches_oracle(values):
+    got = normalize_null_like(pa.array(values, type=pa.string())).to_pylist()
+    want = oracle_normalize(pd.DataFrame({"x": values}))["x"].tolist()
+    assert got == want
