@@ -265,3 +265,41 @@ def test_dual_registry_versions(ray_session):
     assert cmp_["verdicts"] == {"v_old": True, "v_new": False}
     assert cmp_["errors"] == {"v_old": 0, "v_new": 1}
     assert not cmp_["agree"]
+
+
+def test_group_checks_randomized_vs_oracle(ray_session):
+    """Randomized corpora (varying sizes, injected dups/gaps, small salt so
+    conversations straddle salt buckets) — salted exchange must equal the
+    in-memory oracle exactly."""
+    import numpy as np
+
+    from crn_meta_validate_ray.stages.groupcheck import group_check_findings
+
+    rules = transcript_rules()
+    for seed in (1, 2, 3, 4, 5):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for c in range(rng.integers(5, 30)):
+            n = int(rng.integers(1, 40))
+            start = int(rng.integers(0, 2))       # some start at 1 → gap
+            idxs = list(range(start, start + n))
+            if rng.random() < 0.4 and n > 3:      # drop one → gap
+                idxs.remove(idxs[rng.integers(1, len(idxs) - 1)])
+            if rng.random() < 0.4:                # duplicate one
+                idxs.append(idxs[int(rng.integers(0, len(idxs)))])
+            for i in idxs:
+                rows.append({"conv_id": f"conv_{c:08d}", "turn_idx": i})
+        rng.shuffle(rows)
+        df = pd.DataFrame(rows)
+        df["ts"] = pd.to_datetime(1_700_000_000 + np.arange(len(df)),
+                                  unit="s")
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        # salt_every=8 forces conversations across salt buckets
+        findings = group_check_findings(ds, rules, salt_every=8).take_all()
+        got_seq = sorted(r["row_key"] for r in findings
+                         if r["constraint_id"] == "seq:turn_idx@conv_id")
+        got_dup = sorted(r["row_key"] for r in findings
+                         if r["constraint_id"] == "unique:conv_id,turn_idx")
+        want = oracle_group_checks(df, rules)
+        assert got_seq == want["seq:turn_idx@conv_id"], f"seed {seed}"
+        assert got_dup == want["unique:conv_id,turn_idx"], f"seed {seed}"
