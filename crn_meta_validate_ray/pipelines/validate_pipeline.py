@@ -440,6 +440,12 @@ def extension_summaries(rules: TableRules, counts: dict[str, int],
         if bad:
             push(d.severity, d.constraint_id,
                  f"distribution drift on {d.metric}: {'; '.join(bad)}")
+    for d in rules.drift:
+        c = counts.get(f"{d.constraint_id}:group", 0)
+        if c:
+            push(d.severity, f"{d.constraint_id}:group",
+                 f"{c} group(s) with outlier {d.metric} vs the declared "
+                 f"expectation")
     return errors, warnings_, extras
 
 

@@ -218,7 +218,11 @@ class DriftRule:
     column: str = ""
     group_col: str = ""
     expected_quantiles: tuple = ()   # tuple of (q, value) pairs
-    tolerance: float = 0.5
+    tolerance: float = 0.5           # relative tolerance for global quantiles
+    # when set, individual groups whose mean metric deviates from the
+    # declared median by more than this relative factor are flagged as
+    # per-group drift outliers (V14); None disables per-group flagging
+    group_tolerance: float | None = None
     severity: str = "warning"
 
     def __post_init__(self):
@@ -357,7 +361,8 @@ def transcript_rules() -> TableRules:
             DriftRule(metric="group_size", group_col="conv_id",
                       expected_quantiles=((0.5, 12.0),), tolerance=1.0),
             DriftRule(metric="ts_gap", column="ts", group_col="conv_id",
-                      expected_quantiles=((0.5, 16.0),), tolerance=1.0),
+                      expected_quantiles=((0.5, 16.0),), tolerance=1.0,
+                      group_tolerance=10.0),
         ],
     )
 

@@ -141,9 +141,16 @@ def _empty_partials() -> pd.DataFrame:
     })
 
 
-def _merge_stage(start: int, ts_enabled: bool, size_metric_enabled: bool):
+def _merge_stage(start: int, ts_enabled: bool, size_metric_enabled: bool,
+                 gap_expectation: tuple | None = None):
     """Stage B: merge per-(group, salt_bucket) partials per group —
-    vectorized verdicts, dup pass-through, digest fold."""
+    vectorized verdicts, dup pass-through, digest fold.
+
+    ``gap_expectation = (expected_median_gap_s, tolerance)`` additionally
+    flags individual groups whose mean ts gap deviates from the declared
+    expectation by more than ``tolerance`` (relative) — the per-conversation
+    drift verdict (archetype V14), computed vectorized from the per-group
+    duration and row count."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -173,6 +180,25 @@ def _merge_stage(start: int, ts_enabled: bool, size_metric_enabled: bool):
                     "idx": 0, "payload": td.to_bytes(),
                     "weight": float(agg["n"].sum()),
                 }]))
+            if ts_enabled and gap_expectation is not None:
+                expected, tol = gap_expectation
+                span = p.groupby("grp", sort=False).agg(
+                    n=("n", "sum"), first=("first_ts", "min"),
+                    last=("last_ts", "max")).reset_index()
+                multi = span[span["n"] > 1]
+                mean_gap = (multi["last"] - multi["first"]) / 1e6 \
+                    / (multi["n"] - 1)
+                denom = abs(expected) if expected else 1.0
+                bad = multi[np.abs(mean_gap - expected) / denom > tol]
+                if len(bad):
+                    bg = mean_gap.loc[bad.index]
+                    frames.append(pd.DataFrame({
+                        "ftype": "gap_outlier", "grp": bad["grp"],
+                        "value": ("mean_gap_s="
+                                  + bg.round(3).astype(str)
+                                  + f" expected~{expected:g}"),
+                        "idx": 0, "payload": b"", "weight": 0.0,
+                    }))
         d = df[df["kind"] == "d"]
         if len(d):
             frames.append(pd.DataFrame({
@@ -257,6 +283,10 @@ class _ToFindings:
             s = df[df["ftype"] == "seq"]
             violations(s, self.seq.index_col, self.seq.constraint_id,
                        self.seq.severity, s["grp"], s["grp"])
+        if self.gap_metric:
+            o = df[df["ftype"] == "gap_outlier"]
+            violations(o, "ts", f"{self.gap_metric}:group", "warning",
+                       o["grp"], o["grp"])
         if self.uniq is not None:
             d = df[df["ftype"] == "dup"]
             if len(d):
@@ -329,8 +359,16 @@ def group_check_findings(
     partials = grouped_map(prepped, ["__grp", "__bkt"],
                            _bucket_partials(bool(ts_col)),
                            num_buckets=num_buckets)
+    gap_expectation = None
+    if gap_rules and gap_rules[0].expected_quantiles \
+            and gap_rules[0].group_tolerance is not None:
+        # per-group outlier flagging against the declared median gap (V14)
+        med = dict(gap_rules[0].expected_quantiles).get(0.5)
+        if med is not None:
+            gap_expectation = (float(med),
+                               float(gap_rules[0].group_tolerance))
     merge_fn = _merge_stage(seq.start if seq else 0, bool(ts_col),
-                            bool(size_rules))
+                            bool(size_rules), gap_expectation)
     conv = _ToFindings(
         rules.table, seq, uniq,
         gap_rules[0].constraint_id if gap_rules else None,

@@ -303,3 +303,14 @@ def test_group_checks_randomized_vs_oracle(ray_session):
         want = oracle_group_checks(df, rules)
         assert got_seq == want["seq:turn_idx@conv_id"], f"seed {seed}"
         assert got_dup == want["unique:conv_id,turn_idx"], f"seed {seed}"
+
+
+def test_per_group_drift_outlier_V14(corpus, run):
+    """V14: the conversation with the shifted ts-gap distribution is flagged
+    as a per-group drift outlier (warning), and only that conversation."""
+    exp = corpus["expected"]
+    rows = [r for r in run.violations.take_all()
+            if r["constraint_id"] == "drift:ts_gap:ts:group"]
+    assert {r["row_key"] for r in rows} == {exp["V14_drift_conv"]}
+    assert all(r["severity"] == "warning" for r in rows)
+    assert "mean_gap_s=" in rows[0]["value"]
