@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_embeddings": q.knn_embeddings,
         "lsh_ann_embeddings": q.lsh_ann_embeddings,
+        "ivf_ann_embeddings": q.ivf_ann_embeddings,
         "near_dup_embeddings": q.near_dup_embeddings,
         # multimodal plumbing (stubbed decoder; rows-only)
         "media_decode_features": q.media_decode_features,

@@ -573,3 +573,20 @@ def asof_latest_order(sf_dir: str):
         })
 
     return out.map_batches(project, batch_format="pyarrow")
+
+
+def ivf_ann_embeddings(sf_dir: str):
+    """IVF-bucketed approximate top-k (second ANN scale path; rows-only —
+    recall < 1 by construction with n_probe < n_lists)."""
+    import pyarrow.parquet as pq
+
+    from crn_meta_validate_ray.stages.similarity import ivf_ann
+    head = pq.read_table(_p(sf_dir, "embeddings")).slice(0, 3)
+    queries = np.asarray(head["embedding"].combine_chunks().flatten(),
+                         dtype=np.float32).reshape(3, -1)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out = ivf_ann(ds, queries, k=5, n_lists=16, n_probe=4)
+    return collect_with_schema(out, pa.schema([
+        ("query_idx", pa.int64()), ("rank", pa.int64()),
+        ("vec_id", pa.int64()), ("score", pa.float64())]))

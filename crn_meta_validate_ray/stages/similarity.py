@@ -206,3 +206,109 @@ def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
         _NearDupBatch, fn_constructor_args=(ref, ids_ref, threshold, vec_col,
                                             id_col),
         batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 12,
+            seed: int = 5) -> np.ndarray:
+    """Plain Lloyd's k-means on a (normalized) sample — the IVF coarse
+    quantizer. Deterministic (seeded init)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                             replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cent[c] = m / n
+    return cent
+
+
+class _IvfAssign:
+    """Stateless stage: assign each vector to its nearest centroid (the
+    inverted list id); centroids broadcast once via ray.put."""
+
+    def __init__(self, cent_ref, vec_col: str):
+        self.cent = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) \
+            else cent_ref
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, self.vec_col))
+        lst = (np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
+               if m.size else np.empty(0, dtype=np.int64))
+        return batch.append_column("ivf_list", pa.array(lst))
+
+
+def ivf_ann(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
+            *, id_col: str = "vec_id", vec_col: str = "embedding",
+            n_lists: int = 16, n_probe: int = 4, sample_n: int = 4096,
+            seed: int = 5) -> "rd.Dataset":
+    """IVF approximate top-k (the second scale path next to ``lsh_ann``):
+
+    1. train a coarse quantizer (k-means on a driver-side sample);
+    2. assign every vector to its nearest centroid (inverted list) in a
+       stateless broadcast stage;
+    3. each query probes its ``n_probe`` closest lists; top-k runs only
+       inside probed lists (grouped_map over list ids), partials merged
+       per query on the driver.
+
+    Recall grows with n_probe (n_probe == n_lists → exact)."""
+    queries = _normalize(np.asarray(queries, dtype=np.float32))
+    narrow = ds.select_columns([id_col, vec_col])
+    sample_rows = narrow.limit(sample_n).take_all()
+    sample = _normalize(np.array([r[vec_col] for r in sample_rows],
+                                 dtype=np.float32))
+    cent = _kmeans(sample, n_lists, seed=seed)
+    cent_ref = ray.put(cent)
+
+    probes = np.argsort(-(queries @ cent.T), axis=1)[:, :n_probe]
+    probe_of_list: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probes):
+        for li in lists:
+            probe_of_list.setdefault(int(li), []).append(qi)
+
+    assigned = narrow.map_batches(
+        _IvfAssign, fn_constructor_args=(cent_ref, vec_col),
+        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+
+    def within(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_idx": [], "vec_id": [], "score": []}
+        for li, g in df.groupby("ivf_list", sort=False):
+            qis = probe_of_list.get(int(li), [])
+            if not qis:
+                continue
+            m = _normalize(np.vstack(g[vec_col].to_numpy())
+                           .astype(np.float32))
+            ids = g[id_col].to_numpy()
+            for qi in qis:
+                scores = m @ queries[qi]
+                top = np.lexsort((ids, -scores))[:k]
+                out["query_idx"].extend([qi] * len(top))
+                out["vec_id"].extend(ids[top].tolist())
+                out["score"].extend(scores[top].astype(np.float64).tolist())
+        res = pd.DataFrame(out)
+        if not len(res):
+            res = pd.DataFrame({"query_idx": pd.Series(dtype=np.int64),
+                                "vec_id": pd.Series(dtype=np.int64),
+                                "score": pd.Series(dtype=np.float64)})
+        return res
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    partials = grouped_map(assigned, ["ivf_list"], within)
+    frames = [b.to_pandas() for b in partials.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")]
+    allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"query_idx": [], "vec_id": [], "score": []})
+    allp = allp.sort_values(["query_idx", "score", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+    topk = allp.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    topk["rank"] = topk.groupby("query_idx", sort=False).cumcount() \
+        .astype(np.int32)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.Table.from_pandas(
+        topk[["query_idx", "rank", "vec_id", "score"]], preserve_index=False))

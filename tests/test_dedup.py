@@ -117,3 +117,29 @@ def test_embedding_near_dup_and_knn(ray_session):
         have = [r["vec_id"] for r in sorted(
             (r for r in got if r["query_idx"] == q), key=lambda r: r["rank"])]
         assert have == want
+
+
+def test_ivf_ann_recall(ray_session):
+    """IVF ANN: with n_probe == n_lists results equal brute force exactly;
+    with fewer probes recall stays high on clustered data."""
+    from crn_meta_validate_ray.stages.similarity import ivf_ann, knn_brute_force
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 16)).astype(np.float32) * 3
+    base = np.vstack([c + rng.standard_normal((50, 16)).astype(np.float32)
+                      for c in centers])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(base), dtype=np.int64)),
+        "embedding": pa.array(base.tolist(), type=pa.list_(pa.float32())),
+    }))
+    queries = base[[5, 60, 120]]
+    exact = {(r["query_idx"], r["rank"]): r["vec_id"]
+             for r in knn_brute_force(ds, queries, k=5).take_all()}
+    full_probe = {(r["query_idx"], r["rank"]): r["vec_id"]
+                  for r in ivf_ann(ds, queries, k=5, n_lists=8,
+                                   n_probe=8).take_all()}
+    assert full_probe == exact           # all lists probed == exact
+    part = ivf_ann(ds, queries, k=5, n_lists=8, n_probe=3).take_all()
+    got = {(r["query_idx"], r["rank"]): r["vec_id"] for r in part}
+    overlap = sum(1 for key in exact if got.get(key) == exact[key])
+    assert overlap >= int(0.8 * len(exact))   # high recall on clustered data
