@@ -134,27 +134,34 @@ def lsh_ann(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
         stage, batch_format="pyarrow")
 
-    def within(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["bucket"].iloc[0])
-        qis = by_bucket.get(b, [])
-        if not qis:
-            return pd.DataFrame({"query_idx": [], "rank": [], "vec_id": [],
-                                 "score": []})
-        m = _normalize(np.vstack(g[vec_col].to_numpy()).astype(np.float32))
-        ids = g[id_col].to_numpy()
+    def within(df: pd.DataFrame) -> pd.DataFrame:
         out = {"query_idx": [], "rank": [], "vec_id": [], "score": []}
-        for qi in qis:
-            scores = m @ qn[qi]
-            order = np.lexsort((ids, -scores))[:k]
-            for r, row in enumerate(order):
-                out["query_idx"].append(qi)
-                out["rank"].append(r)
-                out["vec_id"].append(int(ids[row]))
-                out["score"].append(float(scores[row]))
-        return pd.DataFrame(out)
+        for b, g in df.groupby("bucket", sort=False):
+            qis = by_bucket.get(int(b), [])
+            if not qis:
+                continue
+            m = _normalize(np.vstack(g[vec_col].to_numpy())
+                           .astype(np.float32))
+            ids = g[id_col].to_numpy()
+            for qi in qis:
+                scores = m @ qn[qi]
+                order = np.lexsort((ids, -scores))[:k]
+                for r, row in enumerate(order):
+                    out["query_idx"].append(qi)
+                    out["rank"].append(r)
+                    out["vec_id"].append(int(ids[row]))
+                    out["score"].append(float(scores[row]))
+        res = pd.DataFrame(out)
+        if not len(res):
+            res = pd.DataFrame({"query_idx": pd.Series(dtype=np.int64),
+                                "rank": pd.Series(dtype=np.int64),
+                                "vec_id": pd.Series(dtype=np.int64),
+                                "score": pd.Series(dtype=np.float64)})
+        return res
 
-    return bucketed.groupby("bucket").map_groups(within,
-                                                 batch_format="pandas")
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    return grouped_map(bucketed, ["bucket"], within)
 
 
 class _NearDupBatch:
