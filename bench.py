@@ -153,16 +153,13 @@ def run_scaling_child(ncpu: int):
     _warm([info["turns_dir"], info["conversations"]])
     rd.range(ncpu * 4, override_num_blocks=ncpu * 4) \
         .map_batches(lambda t: t, batch_format="pyarrow").count()
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        validate_transcripts(info["turns_dir"], info["conversations"],
-                             batch_size=16384)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    print(json.dumps({"ncpu": ncpu, "sec": round(best, 2),
+    t0 = time.perf_counter()
+    validate_transcripts(info["turns_dir"], info["conversations"],
+                         batch_size=16384)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"ncpu": ncpu, "sec": round(dt, 2),
                       "rows": info["n_turns"],
-                      "rows_per_sec": round(info["n_turns"] / best, 1)}))
+                      "rows_per_sec": round(info["n_turns"] / dt, 1)}))
     ray.shutdown()
 
 
@@ -190,15 +187,29 @@ def run_scaling():
 
     lo_n = int(os.environ.get("BENCH_SCALE_LO", "2"))
     hi_n = int(os.environ.get("BENCH_SCALE_HI", str(lo_n * 4)))
-    lo = one(lo_n)
-    hi = one(hi_n)
-    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (hi_n / lo_n)
+    iters = int(os.environ.get("BENCH_SCALE_ITERS", "3"))
+    # the host steals CPU in multi-minute bursts, so samples are
+    # INTERLEAVED (lo, hi, lo, hi, ...) in fresh processes and the best per
+    # level kept — one slow host window then cannot sink one level while
+    # sparing the other
+    lo_best = hi_best = None
+    rows = None
+    for _ in range(iters):
+        lo = one(lo_n)
+        hi = one(hi_n)
+        rows = lo["rows"]
+        if lo_best is None or lo["sec"] < lo_best["sec"]:
+            lo_best = lo
+        if hi_best is None or hi["sec"] < hi_best["sec"]:
+            hi_best = hi
+    eff = (hi_best["rows_per_sec"] / lo_best["rows_per_sec"]) / (hi_n / lo_n)
     print(json.dumps({
         "pipeline": "transcript_validate (full constraint suite)",
-        "rows": lo["rows"],
-        f"sec_{lo_n}": lo["sec"], f"sec_{hi_n}": hi["sec"],
-        f"rows_per_sec_{lo_n}": lo["rows_per_sec"],
-        f"rows_per_sec_{hi_n}": hi["rows_per_sec"],
+        "rows": rows,
+        f"sec_{lo_n}": lo_best["sec"], f"sec_{hi_n}": hi_best["sec"],
+        f"rows_per_sec_{lo_n}": lo_best["rows_per_sec"],
+        f"rows_per_sec_{hi_n}": hi_best["rows_per_sec"],
+        "samples_per_level": iters,
         "scaling_efficiency": round(eff, 3),
     }))
 
