@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q.fingerprint_documents,
         "quality_documents": q.quality_documents,
         "langid_documents": q.langid_documents,
+        "multienum_violations_documents": q.multienum_violations_documents,
+        "timestamp_violations_events": q.timestamp_violations_events,
         "dedup_keep_first_documents": q.dedup_keep_first_documents,
         "minhash_pairs_documents": q.minhash_pairs_documents,
         "simhash_pairs_documents": q.simhash_pairs_documents,
@@ -217,6 +219,110 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
+        "quality_documents": rf"""
+            WITH c AS (
+                SELECT doc_id,
+                       length(coalesce(text, '')) AS nc,
+                       length(regexp_extract_all(coalesce(text, ''), '\S+'))
+                           AS nt,
+                       length(regexp_extract_all(coalesce(text, ''),
+                              '[!-/:-@\[-`{{-~]')) AS np,
+                       length(regexp_extract_all(coalesce(text, ''),
+                              '(?i)\b(?:{stop_alt})\b')) AS ns
+                FROM documents
+            ), r AS (
+                SELECT doc_id, nc, nt,
+                       np / greatest(nc, 1)::DOUBLE AS punct_ratio,
+                       ns / greatest(nt, 1)::DOUBLE AS stopword_ratio,
+                       nc / greatest(nt, 1)::DOUBLE AS mean_tok
+                FROM c
+            )
+            SELECT doc_id, nc AS n_chars, nt AS n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(
+                       least(greatest(nt / 50.0, 0), 1) * 0.3
+                       + least(greatest(stopword_ratio / 0.4, 0), 1) * 0.3
+                       + (1 - least(greatest(punct_ratio / 0.2, 0), 1)) * 0.2
+                       + exp(-0.5 * pow((mean_tok - 5.0) / 3.0, 2)) * 0.2,
+                       6) AS quality_score
+            FROM r
+        """,
+        "langid_documents": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       length(regexp_extract_all(coalesce(text, ''),
+                           '(?i)\b(?:the|and|of|is|to|that|with)\b')) AS s_en,
+                       length(regexp_extract_all(coalesce(text, ''),
+                           '(?i)\b(?:der|die|und|das|nicht|ist|ein)\b')) AS s_de,
+                       length(regexp_extract_all(coalesce(text, ''),
+                           '(?i)\b(?:le|la|les|et|est|une|que)\b')) AS s_fr,
+                       length(regexp_extract_all(coalesce(text, ''),
+                           '(?i)\b(?:el|los|las|es|una|que|para)\b')) AS s_es,
+                       length(regexp_extract_all(coalesce(text, ''),
+                           '[一-鿿]')) AS s_cjk
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                       WHEN s_cjk > 0 THEN 'zh'
+                       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                       -- argmax with first-wins tie-break in (en,de,fr,es)
+                       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                           THEN 'en'
+                       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                       WHEN s_fr >= s_es THEN 'fr'
+                       ELSE 'es'
+                   END AS lang_pred
+            FROM c
+        """,
+        "multienum_violations_documents": r"""
+            WITH d AS (
+                SELECT doc_id, lang || ';' || source AS tags FROM documents
+            ), t AS (
+                SELECT doc_id, tags,
+                       list_filter(list_transform(
+                           string_split(coalesce(tags, ''), ';'),
+                           x -> trim(x)), x -> x <> '') AS toks
+                FROM d
+            )
+            SELECT doc_id, tags FROM t
+            WHERE NOT (
+                tags IS NULL
+                OR regexp_matches(tags, '^[\s\x0b\x1c-\x1f\x85\p{Z}]*$')
+                OR tags IN ('NA', 'none', 'None', 'nan', 'NaN', 'NAN',
+                            'N/A', 'n/a')
+                OR (len(toks) > 0
+                    AND len(list_filter(toks,
+                        x -> x NOT IN ('en','de','fr','es','zh','src0','src1',
+                                       'src2','src3','src4','src5','src6',
+                                       'src7','src8','src9'))) = 0)
+            )
+        """,
+        "timestamp_violations_events": r"""
+            WITH d AS (
+                SELECT event_id,
+                       CASE event_id % 6
+                           WHEN 0 THEN strftime(date_trunc('second', ts),
+                                                '%Y-%m-%d %H:%M:%S')
+                           WHEN 1 THEN strftime(date_trunc('second', ts),
+                                                '%Y-%m-%dT%H:%M:%S')
+                                       || '.'
+                                       || CAST(event_id % 1000 AS VARCHAR)
+                           WHEN 2 THEN strftime(ts, '%Y-%m-%d')
+                           WHEN 3 THEN 'ts-' || CAST(event_id AS VARCHAR)
+                           WHEN 4 THEN '2024-01.5-01'
+                           ELSE 'NA'
+                       END AS ts_str
+                FROM events
+            )
+            SELECT event_id, ts_str FROM d
+            WHERE ts_str <> 'NA'
+              AND try_strptime(
+                      regexp_replace(ts_str, '(:[0-9]{2})\.[0-9]+$', '\1'),
+                      ['%Y-%m-%dT%H:%M:%S', '%Y-%m-%d %H:%M:%S',
+                       '%Y-%m-%d']) IS NULL
+        """,
         "dedup_keep_first_documents": """
             SELECT d.doc_id, d.text, d.lang FROM documents d
             JOIN (SELECT text, min(doc_id) AS keep FROM documents
@@ -241,7 +347,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(new_session) AS n_sessions,
+            SELECT user_id,
+                   -- DuckDB sum() yields HUGEINT; cast so the typed value
+                   -- hash matches the engine's int64 (cf. tumbling_events)
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id
         """,

@@ -33,13 +33,16 @@ import pyarrow.compute as pc
 from crn_meta_validate_ray.functions.nulls import normalize_null_like
 from crn_meta_validate_ray.registry import NULL_SENTINEL, FieldRule
 
-# Arrow strptime has no %f — fractional seconds are stripped before parsing
+# Arrow strptime has no %f — fractional seconds are stripped before parsing.
+# The strip is anchored to a trailing fraction after a seconds field
+# (":SS.ffff" at end-of-string) so a dot-digit run elsewhere in the value
+# (e.g. "2024-01.5-01") is NOT removed and still fails to parse.
 _TS_FORMATS = (
     "%Y-%m-%dT%H:%M:%S",
     "%Y-%m-%d %H:%M:%S",
     "%Y-%m-%d",
 )
-_TS_FRACTION_RE = r"\.[0-9]+"
+_TS_FRACTION_RE = r"(:[0-9]{2})\.[0-9]+$"
 
 
 def _combine(arr) -> pa.Array:
@@ -136,7 +139,7 @@ class CompiledFieldRule:
             return special | m
         if dt == "Timestamp":
             special = self._special_mask(s)
-            stripped = pc.replace_substring_regex(s, _TS_FRACTION_RE, "")
+            stripped = pc.replace_substring_regex(s, _TS_FRACTION_RE, r"\1")
             parsed = None
             for fmt in _TS_FORMATS:
                 got = pc.strptime(stripped, format=fmt, unit="us",

@@ -323,10 +323,23 @@ def fingerprint_documents(sf_dir: str):
 
 
 def quality_documents(sf_dir: str):
-    """Full quality-scoring stage (engine-only scoring formula)."""
+    """Quality-scoring stage (functions/text.py:40); float outputs rounded
+    to 6 so the DuckDB oracle (same arithmetic over regexp counts) can
+    hash-match despite last-ULP libm differences."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(lambda t: quality_features(t).drop_columns(["text"]),
-                          batch_format="pyarrow", zero_copy_batch=True)
+
+    def score(t: pa.Table) -> pa.Table:
+        q = quality_features(t)
+        return pa.table({
+            "doc_id": q["doc_id"],
+            "n_chars": q["n_chars"],
+            "n_tokens": q["n_tokens"],
+            "punct_ratio": pc.round(q["punct_ratio"], 6),
+            "stopword_ratio": pc.round(q["stopword_ratio"], 6),
+            "quality_score": pc.round(q["quality_score"], 6),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def langid_documents(sf_dir: str):
@@ -343,6 +356,84 @@ def minhash_pairs_documents(sf_dir: str):
 def simhash_pairs_documents(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return simhash_pairs(ds, max_distance=3)
+
+
+MULTIENUM_VOCAB = ["en", "de", "fr", "es", "zh"] + [f"src{i}" for i in range(10)]
+
+
+def multienum_violations_documents(sf_dir: str):
+    """Multi-enum constraint (M6, reference utils/validate_core.py:277-296)
+    over a derived ``lang;source`` tags column: valid iff special
+    (FillNull ∪ {NA} post-normalization) or ≥1 non-empty ';'-token with
+    every token in the vocabulary (src10+ sources violate)."""
+    from crn_meta_validate_ray.functions.checks import CompiledFieldRule
+    rule = FieldRule("tags", "Required", "Enum", MULTIENUM_VOCAB,
+                     allow_multi=True)
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "source"])
+
+    def bad(t: pa.Table) -> pa.Table:
+        compiled = CompiledFieldRule(rule)
+        tags = pc.binary_join_element_wise(
+            pc.cast(t["lang"], pa.string()),
+            pc.cast(t["source"], pa.string()), ";")
+        valid, _, _ = compiled.check(tags)
+        mask = pa.array(~valid)
+        return pa.table({"doc_id": t["doc_id"].filter(mask),
+                         "tags": (tags.combine_chunks()
+                                  if isinstance(tags, pa.ChunkedArray)
+                                  else tags).filter(mask)})
+
+    out = ds.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True)
+    return collect_with_schema(out, pa.schema([
+        ("doc_id", pa.int64()), ("tags", pa.string())]))
+
+
+def timestamp_violations_events(sf_dir: str):
+    """Timestamp constraint (functions/checks.py Timestamp kernel) over a
+    derived string column cycling valid strftime forms (with/without a
+    fractional-seconds suffix), malformed values, and the sentinel —
+    including the '2024-01.5-01' shape that must NOT pass fraction-strip."""
+    from crn_meta_validate_ray.functions.checks import CompiledFieldRule
+    rule = FieldRule("ts_str", "Required", "Timestamp")
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def bad(t: pa.Table) -> pa.Table:
+        compiled = CompiledFieldRule(rule)
+        eid = pc.cast(t["event_id"], pa.int64())
+        sec = pc.cast(pc.floor_temporal(t["ts"], unit="second"),
+                      pa.timestamp("s"))
+        m = pc.cast(pc.subtract(eid, pc.multiply(
+            pc.divide(eid, pa.scalar(6, pa.int64())),
+            pa.scalar(6, pa.int64()))), pa.int64())
+        frac = pc.cast(pc.subtract(eid, pc.multiply(
+            pc.divide(eid, pa.scalar(1000, pa.int64())),
+            pa.scalar(1000, pa.int64()))), pa.string())
+        forms = [
+            pc.strftime(sec, format="%Y-%m-%d %H:%M:%S"),
+            pc.binary_join_element_wise(
+                pc.strftime(sec, format="%Y-%m-%dT%H:%M:%S"), frac, "."),
+            pc.strftime(sec, format="%Y-%m-%d"),
+            pc.binary_join_element_wise(
+                pa.array(["ts-"] * t.num_rows), pc.cast(eid, pa.string()), ""),
+        ]
+        ts_str = pa.array(["NA"] * t.num_rows, type=pa.string())
+        for code, form in enumerate(forms):
+            ts_str = pc.if_else(pc.equal(m, code), form, ts_str)
+        ts_str = pc.if_else(pc.equal(m, 4),
+                            pa.scalar("2024-01.5-01", pa.string()), ts_str)
+        valid, _, _ = compiled.check(ts_str)
+        mask = pa.array(~valid)
+        return pa.table({"event_id": eid.combine_chunks().filter(mask)
+                         if isinstance(eid, pa.ChunkedArray)
+                         else eid.filter(mask),
+                         "ts_str": (ts_str.combine_chunks()
+                                    if isinstance(ts_str, pa.ChunkedArray)
+                                    else ts_str).filter(mask)})
+
+    out = ds.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True)
+    return collect_with_schema(out, pa.schema([
+        ("event_id", pa.int64()), ("ts_str", pa.string())]))
 
 
 # ------------------------------------------------------------- similarity

@@ -100,3 +100,16 @@ def test_timestamp_string_parsing():
         pa.array(["2024-01-01T10:00:00", "2024-01-01 10:00:00.250",
                   "2024-01-01", "not a date", "NA"]))
     assert list(valid) == [True, True, True, False, True]
+
+
+def test_timestamp_fraction_strip_is_anchored():
+    """The fractional-seconds strip only removes a trailing '.ffff' after a
+    seconds field — a dot-digit run elsewhere ('2024-01.5-01') must NOT be
+    deleted into a valid-looking date (false negative regression)."""
+    rule = FieldRule("x", "Required", "Timestamp")
+    valid, _, _ = CompiledFieldRule(rule).check(
+        pa.array(["2024-01.5-01",             # mid-string dot: invalid
+                  "2024-01-01.5",             # fraction without seconds: invalid
+                  "2024-01-01T10:00:00.999",  # genuine fraction: valid
+                  "2024-01-01 10:00:00.1"]))  # genuine fraction: valid
+    assert list(valid) == [False, False, True, True]
