@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Min
@@ -214,36 +215,58 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, threshold: float = 0.7,
 
 
 class _SimHashStage:
+    """Batch-vectorized SimHash band emitter: Arrow whitespace-split over
+    the whole batch, ONE ``pd.util.hash_array`` call over the flattened
+    token array, per-bit-plane segment counts via cumsum differences, and
+    band rows emitted with ``np.repeat``/``np.tile`` — no per-document
+    Python loop (mirrors ``MinHasher.batch_signatures_chars``)."""
+
     def __init__(self, text_col: str, id_col: str, prefix_bits: int = 16):
         self.text_col = text_col
         self.id_col = id_col
         self.prefix_bits = prefix_bits
         self.n_bands = 64 // prefix_bits
 
+    def batch_simhash(self, text: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """(n,) uint64 simhash per document; identical bit semantics to
+        ``functions.hashing.simhash64`` over ``text.split()`` tokens
+        (bit i set iff strictly more tokens have bit i than not)."""
+        n = len(text)
+        lst = pc.utf8_split_whitespace(pc.fill_null(text, ""))
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        parent = np.asarray(pc.list_parent_indices(lst))
+        keep = np.asarray(pc.not_equal(flat, ""))  # split() drops empties
+        tok = np.asarray(flat.to_pandas(), dtype=object)[keep]
+        par = parent[keep]  # nondecreasing (list order preserved)
+        ntok = np.bincount(par, minlength=n).astype(np.int64)
+        th = (pd.util.hash_array(tok).astype(np.uint64) if tok.size
+              else np.empty(0, dtype=np.uint64))
+        offsets = np.concatenate(([0], np.cumsum(ntok)))
+        sh = np.zeros(n, dtype=np.uint64)
+        for i in range(64):
+            bit = ((th >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+            c = np.concatenate(([0], np.cumsum(bit)))
+            ones = c[offsets[1:]] - c[offsets[:-1]]
+            sh |= (2 * ones > ntok).astype(np.uint64) << np.uint64(i)
+        return sh
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        rows = {"band_id": [], "band_val": [], "doc_id": [], "sh": []}
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if toks:
-                th = pd.util.hash_array(np.asarray(toks, dtype=object)) \
-                    .astype(np.uint64)
-            else:
-                th = np.empty(0, dtype=np.uint64)
-            sh = simhash64(th)
-            for b in range(self.n_bands):
-                band = int((sh >> np.uint64(b * self.prefix_bits))
-                           & np.uint64((1 << self.prefix_bits) - 1))
-                rows["band_id"].append(b)
-                rows["band_val"].append(band)
-                rows["doc_id"].append(ids[i])
-                rows["sh"].append(int(np.int64(np.uint64(sh).astype(np.int64))))
+        n = batch.num_rows
+        sh = self.batch_simhash(batch[self.text_col])
+        ids = np.asarray(batch[self.id_col].to_pandas())
+        shifts = (np.arange(self.n_bands, dtype=np.uint64)
+                  * np.uint64(self.prefix_bits))
+        mask = np.uint64((1 << self.prefix_bits) - 1)
+        band_vals = ((sh[:, None] >> shifts[None, :]) & mask).astype(np.int64)
         return pa.table({
-            "band_id": pa.array(rows["band_id"], type=pa.int32()),
-            "band_val": pa.array(rows["band_val"], type=pa.int64()),
-            "doc_id": pa.array(rows["doc_id"]),
-            "sh": pa.array(rows["sh"], type=pa.int64()),
+            "band_id": pa.array(np.tile(
+                np.arange(self.n_bands, dtype=np.int32), n)),
+            "band_val": pa.array(band_vals.reshape(-1), type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, self.n_bands)),
+            "sh": pa.array(np.repeat(sh.astype(np.int64), self.n_bands),
+                           type=pa.int64()),
         })
 
 

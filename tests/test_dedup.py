@@ -143,3 +143,34 @@ def test_ivf_ann_recall(ray_session):
     got = {(r["query_idx"], r["rank"]): r["vec_id"] for r in part}
     overlap = sum(1 for key in exact if got.get(key) == exact[key])
     assert overlap >= int(0.8 * len(exact))   # high recall on clustered data
+
+
+def test_simhash_stage_vectorized_parity():
+    """The batch-vectorized _SimHashStage must reproduce the per-document
+    reference construction (hash_array over str.split() tokens →
+    simhash64) bit-for-bit, including empty/whitespace/null docs."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.functions.hashing import simhash64
+    from crn_meta_validate_ray.stages.dedup import _SimHashStage
+
+    texts = ["the quick brown fox", "", None, "   ", "one",
+             "a  b\t c\nd", "répété répété tokens", "x " * 50]
+    ids = list(range(len(texts)))
+    stage = _SimHashStage("text", "doc_id")
+    out = stage(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                          "text": pa.array(texts, type=pa.string())}))
+    got = {}
+    for i in range(out.num_rows):
+        got.setdefault(out["doc_id"][i].as_py(), []).append(
+            (out["band_id"][i].as_py(), out["band_val"][i].as_py(),
+             out["sh"][i].as_py()))
+    for did, t in zip(ids, texts):
+        toks = (t or "").split()
+        th = (pd.util.hash_array(np.asarray(toks, dtype=object))
+              .astype(np.uint64) if toks else np.empty(0, dtype=np.uint64))
+        sh = simhash64(th)
+        want = [(b, int((sh >> np.uint64(b * 16)) & np.uint64(0xFFFF)),
+                 int(np.uint64(sh).astype(np.int64)))
+                for b in range(4)]
+        assert sorted(got[did]) == sorted(want), (did, t)
