@@ -9,10 +9,13 @@
   prefixes, verified by Hamming distance.
 
 Scale shape: every variant shuffles only narrow derived columns (hashes /
-signatures / id), never the document text; buckets are capped
-(``max_bucket``) so a degenerate band (e.g. empty documents) cannot create a
-quadratic pair explosion — capped buckets are dropped and counted, not
-silently truncated.
+signatures / id), never the document text.  The banded candidate exchange
+moves only (band_id, band_hash, doc_id) — signatures travel ONCE per doc
+through a separate keyed attach exchange, never replicated per band.
+Buckets are capped (``max_bucket``) so a degenerate band (e.g. empty
+documents) cannot create a quadratic pair explosion; capped buckets are
+skipped and *counted* — pass ``with_stats=True`` to also receive the
+skip census (buckets skipped, candidate docs dropped).
 """
 
 from __future__ import annotations
@@ -68,9 +71,12 @@ def exact_dedup_keep_first(ds: "rd.Dataset", text_col: str = "text",
 
 
 class _SignatureStage:
-    """Per-batch: shingle each doc, build MinHash signature + band hashes;
-    emits one row per (band) per doc with the signature (and optionally the
-    exact n-gram hash set) as list columns."""
+    """Per-batch: shingle each doc, build MinHash signature + band hashes.
+    Emits ``bands`` NARROW candidate rows (band_id, band_hash, doc_id) per
+    doc plus ONE signature row (band_id = -1) carrying the sig (and
+    optionally the exact n-gram hash set) as list columns — so the banded
+    exchange never replicates the signature per band (bands× byte saving
+    through the shuffle)."""
 
     def __init__(self, text_col: str, id_col: str, num_hashes: int,
                  bands: int, shingle_k: int, use_word_ngrams: bool,
@@ -87,6 +93,7 @@ class _SignatureStage:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
         n = len(texts)
+        H = self.hasher.num_hashes
         if n == 0:
             return pa.table({
                 "band_id": pa.array([], type=pa.int32()),
@@ -100,7 +107,7 @@ class _SignatureStage:
             sigs_m = self.hasher.batch_signatures_chars(texts, self.shingle_k)
             grams_per_doc = [[]] * n
         else:
-            sigs_m = np.empty((n, self.hasher.num_hashes), dtype=np.uint64)
+            sigs_m = np.empty((n, H), dtype=np.uint64)
             grams_per_doc = []
             for i, t in enumerate(texts):
                 t = t or ""
@@ -110,7 +117,7 @@ class _SignatureStage:
                 grams_per_doc.append(
                     sh.astype(np.int64).tolist() if self.carry_ngrams else [])
         # band hashes for all docs at once: polynomial fold per band
-        rows_per_band = self.hasher.num_hashes // self.bands
+        rows_per_band = H // self.bands
         sig_resh = sigs_m[:, : self.bands * rows_per_band] \
             .reshape(n, self.bands, rows_per_band)
         with np.errstate(over="ignore"):
@@ -118,62 +125,175 @@ class _SignatureStage:
             mult = np.uint64(1099511628211)
             for j in range(rows_per_band):
                 bh = bh * mult + sig_resh[:, :, j]
-        bh = bh.astype(np.int64)
 
-        sig_lists = sigs_m.astype(np.int64).tolist()
-        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        band_hash = bh.reshape(-1)
-        out_id = np.repeat(np.asarray(ids), self.bands)
-        sigs = [sig_lists[i] for i in range(n) for _ in range(self.bands)]
-        grams = [grams_per_doc[i] for i in range(n)
-                 for _ in range(self.bands)]
+        ids_np = np.asarray(ids, dtype=np.int64)
+        nb = n * self.bands
+        band_id = np.concatenate([
+            np.tile(np.arange(self.bands, dtype=np.int32), n),
+            np.full(n, -1, dtype=np.int32)])
+        band_hash = np.concatenate([
+            bh.astype(np.int64).reshape(-1), np.zeros(n, dtype=np.int64)])
+        doc_id = np.concatenate([np.repeat(ids_np, self.bands), ids_np])
+        # candidate rows carry empty lists; signature rows the real payload
+        empty_lists = pa.ListArray.from_arrays(
+            np.zeros(nb + 1, dtype=np.int32), pa.array([], type=pa.int64()))
+        sig_lists = pa.ListArray.from_arrays(
+            np.arange(0, (n + 1) * H, H, dtype=np.int32),
+            pa.array(sigs_m.reshape(-1).astype(np.int64)))
+        sig_col = pa.concat_arrays([empty_lists, sig_lists])
+        grams_col = pa.concat_arrays([
+            empty_lists,
+            pa.array(grams_per_doc, type=pa.list_(pa.int64()))])
         return pa.table({
-            "band_id": pa.array(band_id, type=pa.int32()),
-            "band_hash": pa.array(band_hash, type=pa.int64()),
-            "doc_id": pa.array(out_id),
-            "sig": pa.array(sigs, type=pa.list_(pa.int64())),
-            "grams": pa.array(grams, type=pa.list_(pa.int64())),
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash),
+            "doc_id": pa.array(doc_id),
+            "sig": sig_col,
+            "grams": grams_col,
         })
 
 
-def _pair_stage(threshold: float, exact_jaccard: bool, max_bucket: int):
-    """Bucket function for grouped_map: candidate groups are the
-    (band_id, band_hash) buckets *within* the physical hash bucket;
-    singleton groups (the vast majority) are filtered vectorized before any
-    pair loop runs."""
+# sentinel rows in the candidate stream: a capped bucket emits one marker
+# (id_a = -1 - band_id, id_b = band_hash, n_dropped = bucket size) instead
+# of its quadratic pair set — unique per (band_id, band_hash), so the pair
+# dedupe cannot collapse two different skipped buckets.
+def _candidate_stage(max_bucket: int):
+    """Bucket function: emit candidate (id_a < id_b) pairs per
+    (band_id, band_hash) group within the physical hash bucket; singleton
+    groups (the vast majority) never reach the pair loop; capped groups
+    emit one marker row."""
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"id_a": [], "id_b": [], "jaccard": []}
+        out_a, out_b, out_d = [], [], []
         if len(df):
-            multi = df.groupby(["band_id", "band_hash"], sort=False)
-            for _, g in multi:
-                if not (2 <= len(g) <= max_bucket):
+            counts = df.groupby(["band_id", "band_hash"], sort=False)[
+                "doc_id"].transform("size")
+            multi = df[counts >= 2]
+            for (b, h), g in multi.groupby(["band_id", "band_hash"],
+                                           sort=False):
+                m = len(g)
+                if m > max_bucket:
+                    out_a.append(-1 - int(b))
+                    out_b.append(int(h))
+                    out_d.append(m)
                     continue
-                g = g.sort_values("doc_id", kind="stable")
-                ids = g["doc_id"].tolist()
-                sigs = [np.asarray(s, dtype=np.int64) for s in g["sig"]]
-                grams = [np.asarray(x, dtype=np.int64) for x in g["grams"]]
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        if exact_jaccard and len(grams[i]) and len(grams[j]):
-                            inter = np.intersect1d(grams[i], grams[j],
-                                                   assume_unique=True).size
-                            union = grams[i].size + grams[j].size - inter
-                            sim = inter / union if union else 0.0
-                        else:
-                            sim = float((sigs[i] == sigs[j]).mean())
-                        if sim >= threshold:
-                            cols["id_a"].append(ids[i])
-                            cols["id_b"].append(ids[j])
-                            cols["jaccard"].append(sim)
-        out = pd.DataFrame(cols)
-        if not len(out):
-            out = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                "id_b": pd.Series(dtype=np.int64),
-                                "jaccard": pd.Series(dtype=np.float64)})
-        return out
+                ids = np.sort(g["doc_id"].to_numpy())
+                ia, ib = np.triu_indices(m, 1)
+                out_a.extend(ids[ia].tolist())
+                out_b.extend(ids[ib].tolist())
+                out_d.extend([0] * len(ia))
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype=np.int64),
+            "id_b": pd.Series(out_b, dtype=np.int64),
+            "n_dropped": pd.Series(out_d, dtype=np.int64)})
 
     return pairs
+
+
+def _attach_verify(pairs: "rd.Dataset", sigrows: "rd.Dataset",
+                   threshold: float, exact_jaccard: bool,
+                   sim_col: str = "jaccard") -> "rd.Dataset":
+    """Verify candidate pairs against per-doc signatures with two keyed
+    exchanges: attach sig_a by id_a, then compute the similarity where
+    sig_b lives (keyed by id_b) — each signature crosses the wire at most
+    once per exchange, pairs carry sig_a through the second one."""
+
+    def tag_pairs(key: str, carry: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {"key": t[key], "id_a": t["id_a"], "id_b": t["id_b"],
+                    "is_sig": pa.array(np.zeros(t.num_rows, dtype=bool))}
+            for c in ("sig", "grams"):
+                cols[c] = (t[c] if c in carry else pa.ListArray.from_arrays(
+                    np.zeros(t.num_rows + 1, dtype=np.int32),
+                    pa.array([], type=pa.int64())))
+            return pa.table(cols)
+        return fn
+
+    def tag_sigs(t: pa.Table) -> pa.Table:
+        neg = pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        return pa.table({"key": t["doc_id"], "id_a": neg, "id_b": neg,
+                         "is_sig": pa.array(np.ones(t.num_rows, dtype=bool)),
+                         "sig": t["sig"], "grams": t["grams"]})
+
+    attach_schema = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("sig_a", pa.list_(pa.int64())), ("grams_a", pa.list_(pa.int64()))])
+
+    def attach_a(df: pd.DataFrame) -> pa.Table:
+        sig = df[df["is_sig"]]
+        pr = df[~df["is_sig"]][["key", "id_a", "id_b"]]
+        m = pr.merge(
+            sig[["key", "sig", "grams"]].rename(
+                columns={"sig": "sig_a", "grams": "grams_a"}), on="key")
+        # explicit schema: an empty/all-empty-list frame must not degrade
+        # to null-typed columns (union downstream needs list<int64>)
+        return pa.Table.from_pandas(m[["id_a", "id_b", "sig_a", "grams_a"]],
+                                    schema=attach_schema,
+                                    preserve_index=False)
+
+    def verify_b(df: pd.DataFrame) -> pd.DataFrame:
+        sig = df[df["is_sig"]]
+        pr = df[~df["is_sig"]][["key", "id_a", "id_b", "sig_a", "grams_a"]]
+        m = pr.merge(
+            sig[["key", "sig", "grams"]].rename(
+                columns={"sig": "sig_b", "grams": "grams_b"}), on="key")
+        if not len(m):
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 sim_col: pd.Series(dtype=np.float64)})
+        if exact_jaccard:
+            sims = np.empty(len(m), dtype=np.float64)
+            for i, (ga, gb) in enumerate(zip(m["grams_a"], m["grams_b"])):
+                ga = np.asarray(ga, dtype=np.int64)
+                gb = np.asarray(gb, dtype=np.int64)
+                if ga.size and gb.size:
+                    inter = np.intersect1d(ga, gb, assume_unique=True).size
+                    union = ga.size + gb.size - inter
+                    sims[i] = inter / union if union else 0.0
+                else:
+                    A = np.asarray(m["sig_a"].iloc[i], dtype=np.int64)
+                    B = np.asarray(m["sig_b"].iloc[i], dtype=np.int64)
+                    sims[i] = float((A == B).mean())
+        else:
+            A = np.vstack([np.asarray(s, dtype=np.int64)
+                           for s in m["sig_a"]])
+            B = np.vstack([np.asarray(s, dtype=np.int64)
+                           for s in m["sig_b"]])
+            sims = (A == B).mean(axis=1)
+        m[sim_col] = sims
+        m = m[m[sim_col] >= threshold]
+        return m[["id_a", "id_b", sim_col]].reset_index(drop=True)
+
+    carry_a = ["sig", "grams"] if exact_jaccard else ["sig"]
+    u1 = pairs.map_batches(tag_pairs("id_a", []), batch_format="pyarrow") \
+        .union(sigrows.map_batches(tag_sigs, batch_format="pyarrow"))
+    with_a = grouped_map(u1, ["key"], attach_a)
+
+    def tag_pairs2(t: pa.Table) -> pa.Table:
+        zero = pa.ListArray.from_arrays(
+            np.zeros(t.num_rows + 1, dtype=np.int32),
+            pa.array([], type=pa.int64()))
+        return pa.table({
+            "key": t["id_b"], "id_a": t["id_a"], "id_b": t["id_b"],
+            "is_sig": pa.array(np.zeros(t.num_rows, dtype=bool)),
+            "sig_a": t["sig_a"],
+            "grams_a": t["grams_a"] if exact_jaccard else zero,
+            "sig": zero, "grams": zero,
+        })
+
+    def tag_sigs2(t: pa.Table) -> pa.Table:
+        neg = pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        zero = pa.ListArray.from_arrays(
+            np.zeros(t.num_rows + 1, dtype=np.int32),
+            pa.array([], type=pa.int64()))
+        return pa.table({"key": t["doc_id"], "id_a": neg, "id_b": neg,
+                         "is_sig": pa.array(np.ones(t.num_rows, dtype=bool)),
+                         "sig_a": zero, "grams_a": zero,
+                         "sig": t["sig"], "grams": t["grams"]})
+
+    u2 = with_a.map_batches(tag_pairs2, batch_format="pyarrow") \
+        .union(sigrows.map_batches(tag_sigs2, batch_format="pyarrow"))
+    return grouped_map(u2, ["key"], verify_b)
 
 
 def minhash_lsh_pairs(
@@ -188,22 +308,47 @@ def minhash_lsh_pairs(
     use_word_ngrams: bool = False,
     exact_jaccard: bool = False,
     max_bucket: int = DEFAULT_MAX_BUCKET,
-) -> "rd.Dataset":
+    with_stats: bool = False,
+):
     """Near-duplicate pairs (id_a < id_b, similarity ≥ threshold).
 
     ``exact_jaccard=True`` verifies candidates with exact Jaccard over the
-    hashed shingle/n-gram sets (carried through the shuffle); otherwise the
-    signature-agreement estimate is used (the standard choice at scale)."""
+    hashed shingle/n-gram sets; otherwise the signature-agreement estimate
+    is used (the standard choice at scale).
+
+    Exchange plan (all narrow, text never shuffles): banded candidate rows
+    (band_id, band_hash, doc_id) → pair dedupe → signature attach keyed by
+    id_a → verify keyed by id_b.  Signatures cross each attach exchange
+    once per doc instead of once per band (bands× byte saving).
+
+    ``with_stats=True`` additionally returns a dict with the capped-bucket
+    census: ``n_buckets_skipped`` and ``n_docs_dropped`` (docs that lost
+    candidate generation in an over-``max_bucket`` band bucket)."""
     narrow = ds.select_columns([id_col, text_col])
     sig_stage = _SignatureStage(text_col, id_col, num_hashes, bands,
                                 shingle_k, use_word_ngrams,
                                 carry_ngrams=exact_jaccard)
-    bandrows = narrow.map_batches(sig_stage, batch_format="pyarrow",
-                                  batch_size=2048)
+    # derived rows feed two exchanges (candidates + sig attach); material-
+    # ized once so the signature compute doesn't run twice
+    rows = narrow.map_batches(sig_stage, batch_format="pyarrow",
+                              batch_size=2048).materialize()
+    bandrows = rows.filter(expr="band_id >= 0") \
+        .select_columns(["band_id", "band_hash", "doc_id"])
+    sigrows = rows.filter(expr="band_id < 0") \
+        .select_columns(["doc_id", "sig", "grams"])
     cand = grouped_map(bandrows, ["band_id", "band_hash"],
-                       _pair_stage(threshold, exact_jaccard, max_bucket))
+                       _candidate_stage(max_bucket))
     # a pair can surface from several bands — keep one row per pair
-    return drop_duplicate_rows(cand, ["id_a", "id_b"])
+    cand = drop_duplicate_rows(cand, ["id_a", "id_b"])
+    pairs = cand.filter(expr="id_a >= 0")
+    verified = _attach_verify(pairs, sigrows, threshold, exact_jaccard)
+    if not with_stats:
+        return verified
+    markers = cand.filter(expr="id_a < 0").select_columns(["n_dropped"]) \
+        .take_all()
+    stats = {"n_buckets_skipped": len(markers),
+             "n_docs_dropped": int(sum(r["n_dropped"] for r in markers))}
+    return verified, stats
 
 
 def ngram_jaccard_pairs(ds: "rd.Dataset", *, threshold: float = 0.7,
@@ -272,36 +417,56 @@ class _SimHashStage:
 
 def simhash_pairs(ds: "rd.Dataset", *, text_col: str = "text",
                   id_col: str = "doc_id", max_distance: int = 3,
-                  max_bucket: int = DEFAULT_MAX_BUCKET) -> "rd.Dataset":
+                  max_bucket: int = DEFAULT_MAX_BUCKET,
+                  with_stats: bool = False):
     """Near-duplicate pairs by SimHash: candidates share one 16-bit band
     (any distance-≤3 pair must agree on ≥1 of the 4 bands by pigeonhole);
-    verified by exact Hamming distance."""
+    verified by exact Hamming distance.  The 8-byte fingerprint travels
+    with each band row, so no separate attach exchange is needed.
+
+    ``with_stats=True`` additionally returns the capped-bucket census
+    (see ``minhash_lsh_pairs``)."""
     narrow = ds.select_columns([id_col, text_col])
     rows = narrow.map_batches(_SimHashStage(text_col, id_col),
                               batch_format="pyarrow", batch_size=2048)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"id_a": [], "id_b": [], "hamming": []}
-        for _, g in df.groupby(["band_id", "band_val"], sort=False):
-            if not (2 <= len(g) <= max_bucket):
-                continue
-            g = g.sort_values("doc_id", kind="stable")
-            ids = g["doc_id"].tolist()
-            sh = g["sh"].to_numpy().astype(np.int64).astype(np.uint64)
-            for i in range(len(ids)):
-                d = hamming64(np.repeat(sh[i], len(ids) - i - 1),
-                              sh[i + 1:])
-                for off, dist in enumerate(d):
-                    if dist <= max_distance:
-                        cols["id_a"].append(ids[i])
-                        cols["id_b"].append(ids[i + 1 + off])
-                        cols["hamming"].append(int(dist))
-        out = pd.DataFrame(cols)
-        if not len(out):
-            out = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                "id_b": pd.Series(dtype=np.int64),
-                                "hamming": pd.Series(dtype=np.int64)})
-        return out
+        cols = {"id_a": [], "id_b": [], "hamming": [], "n_dropped": []}
+        if len(df):
+            counts = df.groupby(["band_id", "band_val"], sort=False)[
+                "doc_id"].transform("size")
+            for (b, v), g in df[counts >= 2].groupby(
+                    ["band_id", "band_val"], sort=False):
+                if len(g) > max_bucket:
+                    cols["id_a"].append(-1 - int(b))
+                    cols["id_b"].append(int(v))
+                    cols["hamming"].append(-1)
+                    cols["n_dropped"].append(len(g))
+                    continue
+                g = g.sort_values("doc_id", kind="stable")
+                ids = g["doc_id"].to_numpy()
+                sh = g["sh"].to_numpy().astype(np.int64).astype(np.uint64)
+                ia, ib = np.triu_indices(len(ids), 1)
+                d = hamming64(sh[ia], sh[ib])
+                hit = d <= max_distance
+                cols["id_a"].extend(ids[ia[hit]].tolist())
+                cols["id_b"].extend(ids[ib[hit]].tolist())
+                cols["hamming"].extend(d[hit].astype(int).tolist())
+                cols["n_dropped"].extend([0] * int(hit.sum()))
+        return pd.DataFrame({
+            "id_a": pd.Series(cols["id_a"], dtype=np.int64),
+            "id_b": pd.Series(cols["id_b"], dtype=np.int64),
+            "hamming": pd.Series(cols["hamming"], dtype=np.int64),
+            "n_dropped": pd.Series(cols["n_dropped"], dtype=np.int64)})
 
     cand = grouped_map(rows, ["band_id", "band_val"], pairs)
-    return drop_duplicate_rows(cand, ["id_a", "id_b"])
+    cand = drop_duplicate_rows(cand, ["id_a", "id_b"])
+    out = cand.filter(expr="id_a >= 0") \
+        .select_columns(["id_a", "id_b", "hamming"])
+    if not with_stats:
+        return out
+    markers = cand.filter(expr="id_a < 0").select_columns(["n_dropped"]) \
+        .take_all()
+    stats = {"n_buckets_skipped": len(markers),
+             "n_docs_dropped": int(sum(r["n_dropped"] for r in markers))}
+    return out, stats

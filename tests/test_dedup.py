@@ -174,3 +174,28 @@ def test_simhash_stage_vectorized_parity():
                  int(np.uint64(sh).astype(np.int64)))
                 for b in range(4)]
         assert sorted(got[did]) == sorted(want), (did, t)
+
+
+def test_capped_bucket_census(ray_session):
+    """Buckets over max_bucket are skipped but COUNTED: with_stats returns
+    the skip census, and the pair stream excludes the capped bucket."""
+    texts = ["" for _ in range(8)] + [BASE, BASE + " tail"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string())}))
+    # 8 identical empty docs always collide in every band; cap below 8
+    pairs, stats = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=4,
+                                     with_stats=True)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.take_all()}
+    assert stats["n_buckets_skipped"] >= 1
+    assert stats["n_docs_dropped"] >= 8
+    assert all(a >= 0 for a, _ in got)
+    assert (8, 9) in got                      # the real near-dup survives
+    assert not any(a < 8 and b < 8 for a, b in got)  # capped bucket dropped
+
+    spairs, sstats = simhash_pairs(ds, max_distance=3, max_bucket=4,
+                                   with_stats=True)
+    sgot = {(r["id_a"], r["id_b"]) for r in spairs.take_all()}
+    assert sstats["n_buckets_skipped"] >= 1
+    assert sstats["n_docs_dropped"] >= 8
+    assert all(a >= 0 for a, _ in sgot)
