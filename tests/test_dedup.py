@@ -199,3 +199,30 @@ def test_capped_bucket_census(ray_session):
     assert sstats["n_buckets_skipped"] >= 1
     assert sstats["n_docs_dropped"] >= 8
     assert all(a >= 0 for a, _ in sgot)
+
+
+def test_embedding_near_dup_bucketed(ray_session):
+    """LSH near-dup path: no whole-dataset materialization, finds the
+    planted near-identical pairs, agrees with the exact broadcast path."""
+    from crn_meta_validate_ray.stages.similarity import (
+        embedding_near_dup_pairs)
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((120, 32)).astype(np.float32)
+    base[60] = base[10] + 1e-4 * rng.standard_normal(32).astype(np.float32)
+    base[61] = base[20] * 2.0          # parallel => cosine 1
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(base), dtype=np.int64)),
+        "embedding": pa.array(base.tolist(), type=pa.list_(pa.float32())),
+    }))
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dup_pairs(
+                 ds, threshold=0.99, mode="broadcast").take_all()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dup_pairs(
+               ds, threshold=0.99, mode="lsh", n_tables=8).take_all()}
+    assert {(10, 60), (20, 61)} <= exact
+    assert lsh == exact                 # full recall on this tiny instance
+    auto = {(r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                ds, threshold=0.99).take_all()}
+    assert auto == exact
