@@ -59,6 +59,9 @@ from crn_meta_validate_ray.state.checkpoint import (
 )
 
 
+RUN_MANIFEST_ID = "_run"  # run-level lineage: current partition grouping
+
+
 def _list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
@@ -98,11 +101,24 @@ def run_resumable(
 
     g = max(1, files_per_partition)
     groups = [files[i:i + g] for i in range(0, len(files), g)]
-    done = 0
+    # run-level lineage manifest: records the CURRENT grouping so merge_run
+    # folds exactly these partitions — stale manifests from an earlier run
+    # with a different files_per_partition (or a removed input file) are
+    # ignored instead of double-counted
+    pids = {}
     for group in groups:
         pid = os.path.splitext(os.path.basename(group[0]))[0]
         if len(group) > 1:
             pid += f"__x{len(group)}"
+        pids[pid] = sorted(group)
+    store.commit(RUN_MANIFEST_ID, {
+        "constraint_hash": cs_hash,
+        "files": sorted(files),
+        "files_per_partition": g,
+        "partition_files": pids,
+    })
+    done = 0
+    for pid, group in pids.items():
         if store.is_valid(pid, group, cs_hash):
             continue
         if max_partitions is not None and done >= max_partitions:
@@ -186,14 +202,38 @@ def run_resumable(
 
 
 def merge_run(out_dir: str, rules: TableRules) -> ValidationRun:
-    """Compose the global verdict purely from committed manifests."""
+    """Compose the global verdict purely from committed manifests.
+
+    Folds ONLY the partitions recorded in the run-level lineage manifest
+    (plus the group-check phase) and verifies each one's lineage against
+    the current grouping — a manifests/ directory polluted by an earlier
+    run with different partitioning cannot double-count; a missing or
+    stale expected partition raises instead of silently under-counting."""
     store = ManifestStore(os.path.join(out_dir, "manifests"))
+    run_m = store.load(RUN_MANIFEST_ID)
+    if run_m is not None:
+        expected = run_m.get("partition_files", {})
+        cs_hash = run_m.get("constraint_hash")
+        stale = [pid for pid, group in expected.items()
+                 if not store.is_valid(pid, group, cs_hash)]
+        if stale:
+            raise ValueError(
+                "merge_run: missing or lineage-stale partition manifests "
+                f"{sorted(stale)} — re-run run_resumable to completion "
+                "before merging")
+        manifests = [store.load(pid) for pid in sorted(expected)]
+        gc = store.load("_groupcheck")
+        if gc is not None and gc.get("constraint_hash") == cs_hash \
+                and gc.get("input_files") == run_m.get("files"):
+            manifests.append(gc)
+    else:  # legacy run directory without a run-level manifest
+        manifests = store.all_manifests()
     colstats: dict = {}
     counts: dict = {}
     sketches: dict = {}
     schema_names: set = set()
     n_rows = 0
-    for m in store.all_manifests():
+    for m in manifests:
         for col, cs in colstats_from_json(m.get("colstats", {})).items():
             if col in colstats:
                 tgt = colstats[col]

@@ -81,16 +81,21 @@ def validate_transcripts(
     salt_every: int = 65536,
     sketches: bool = True,
     ref_mode: str = "auto",
+    validate_conversations: bool = False,
 ) -> ValidationRun:
     """Validate a transcript corpus end-to-end; returns the turns-table
-    ValidationRun (conversations are validated as the referential target)."""
+    ValidationRun (conversations serve as the referential target).
+
+    With ``validate_conversations=True`` (implied when ``conv_rules`` is
+    passed explicitly) the conversations table itself is also validated
+    and its verdict attached under ``extras['conversations']`` — off by
+    default so the flagship turns pass pays no extra fixed overhead."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     import ray
 
     rules = rules or transcript_rules()
-    conv_rules_ = conv_rules or conversation_rules()
 
     # ONE full-width read for per-cell checks with the sketch stage and the
     # broadcast referential check FUSED into the same map (the wide `text`
@@ -153,10 +158,21 @@ def validate_transcripts(
 
         extra.append(_group_check)
 
-    return validate_dataset(turns_full, rules, mode=mode, out_dir=out_dir,
-                            batch_size=batch_size, extra_findings=extra,
-                            sketch_spec=sketch_spec,
-                            ref_rules_keys=ref_rules_keys)
+    run = validate_dataset(turns_full, rules, mode=mode, out_dir=out_dir,
+                           batch_size=batch_size, extra_findings=extra,
+                           sketch_spec=sketch_spec,
+                           ref_rules_keys=ref_rules_keys)
+    if conversations_path and (conv_rules is not None
+                               or validate_conversations):
+        cr = conv_rules or conversation_rules()
+        conv_run = validate_dataset(rd.read_parquet(conversations_path), cr,
+                                    batch_size=batch_size)
+        run.extras["conversations"] = {
+            "verdict": conv_run.verdict_row(),
+            "violation_counts":
+                conv_run.extras.get("violation_counts", {}),
+        }
+    return run
 
 
 def default_constraint_set() -> ConstraintSet:

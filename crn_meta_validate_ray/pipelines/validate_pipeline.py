@@ -224,7 +224,12 @@ def build_eval_result(rules: TableRules, schema_names: list[str],
         failing = cs.failing_values_ordered()
         if failing:
             found = ", ".join(map(quote, failing))
-            n_distinct = len(failing)
+            # when the distinct-value sample was truncated (cs.exact False)
+            # the count is a lower bound — say so instead of silently
+            # diverging from the reference's exact distinct count
+            n_distinct = len(failing) if cs.exact else f">= {len(failing)}"
+            if not cs.exact:
+                found += ", … (sample)"
             res.invalid_entries.append(
                 (rule.opt_req, col, n_distinct, expected_description(rule), found))
             (res.invalid_required if rule.is_required

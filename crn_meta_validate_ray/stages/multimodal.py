@@ -57,32 +57,64 @@ def synth_media_table(n: int = 64, seed: int = 13) -> pa.Table:
 class DecodeImageStage:
     """Actor-pool stage: payload → fixed-size feature vector.
 
-    Real path: ``__init__`` loads the codec/model once per actor; this
-    container has no image libraries, so construction requires ``fake=True``
-    (deterministic stub: feature = first ``dim`` payload bytes / 255) or an
-    importable PIL, else the stage raises ``NotImplementedError`` at
-    construction — loudly, not at the 10-millionth batch.
+    Real path (``fake=False``): ``__init__`` imports PIL once per actor;
+    ``__call__`` decodes each image payload, converts to grayscale,
+    resizes to a ``⌈√dim⌉``-square thumbnail and emits the normalized
+    pixels truncated/padded to ``dim`` floats.  Non-image kinds (and
+    undecodable payloads) fall back to the deterministic byte-slice
+    features.  Without PIL, construction raises ``NotImplementedError`` —
+    loudly, not at the 10-millionth batch; ``fake=True`` selects the
+    deterministic stub decoder (feature = first ``dim`` payload bytes /
+    255) for codec-free containers.
     """
 
     def __init__(self, dim: int = 32, fake: bool = False):
         self.dim = dim
         self.decoder = None
+        self._pil = None
         if not fake:
             try:
-                import PIL.Image  # noqa: F401
+                import PIL.Image
+                self._pil = PIL.Image
                 self.decoder = "pil"
             except ImportError:
                 raise NotImplementedError(
                     "no image decoder available in this environment; "
                     "construct with fake=True for the deterministic stub")
+        side = 1
+        while side * side < dim:
+            side += 1
+        self._side = side
+
+    def _stub_features(self, p: bytes, out: np.ndarray):
+        raw = np.frombuffer(p[: self.dim], dtype=np.uint8)
+        out[: len(raw)] = raw / 255.0
+
+    def _pil_features(self, p: bytes, out: np.ndarray) -> bool:
+        import io
+        try:
+            img = self._pil.open(io.BytesIO(p))
+            img = img.convert("L").resize((self._side, self._side))
+        except Exception:
+            return False  # undecodable payload → stub fallback
+        pix = np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+        out[:] = pix[: self.dim] if len(pix) >= self.dim else 0.0
+        if len(pix) < self.dim:
+            out[: len(pix)] = pix
+        return True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
+        kinds = batch["kind"].to_pylist() if "kind" in batch.column_names \
+            else ["image"] * len(payloads)
         feats = np.zeros((len(payloads), self.dim), dtype=np.float32)
-        for i, p in enumerate(payloads):
-            if p:
-                raw = np.frombuffer(p[: self.dim], dtype=np.uint8)
-                feats[i, : len(raw)] = raw / 255.0
+        for i, (p, kind) in enumerate(zip(payloads, kinds)):
+            if not p:
+                continue
+            if self.decoder == "pil" and kind == "image":
+                if self._pil_features(p, feats[i]):
+                    continue
+            self._stub_features(p, feats[i])
         out = batch.drop_columns(["payload"])
         return out.append_column(
             "feature", pa.FixedSizeListArray.from_arrays(

@@ -48,3 +48,40 @@ def test_frame_sample_plan(ray_session):
                    zip(df["kind"], df["duration_ms"]) if k == "video" and d))
     assert len(plan) == want
     assert all(r["frame_idx"] >= 0 and r["ts_ms"] % 500 == 0 for r in plan)
+
+
+HAVE_PIL = False
+try:
+    import PIL.Image  # noqa: F401
+    HAVE_PIL = True
+except ImportError:
+    pass
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not available in container")
+def test_decode_media_pil_path(ray_session):
+    """Real decode path: PNG payloads round-trip through PIL → grayscale
+    thumbnail features in [0, 1]."""
+    import io
+
+    import PIL.Image as Image
+
+    imgs = []
+    for v in (0, 128, 255):
+        im = Image.new("L", (8, 8), color=v)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        imgs.append(buf.getvalue())
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2], type=pa.int64()),
+        "kind": pa.array(["image"] * 3),
+        "payload": pa.array(imgs, type=pa.binary()),
+    })
+    out = decode_media(rd.from_arrow(t), dim=16, fake=False,
+                       batch_size=4).take_all()
+    assert len(out) == 3
+    for row, v in zip(sorted(out, key=lambda r: r["media_id"]),
+                      (0, 128, 255)):
+        f = np.asarray(row["feature"])
+        assert f.shape == (16,)
+        assert np.allclose(f, v / 255.0, atol=1 / 255)

@@ -314,3 +314,13 @@ def test_per_group_drift_outlier_V14(corpus, run):
     assert {r["row_key"] for r in rows} == {exp["V14_drift_conv"]}
     assert all(r["severity"] == "warning" for r in rows)
     assert "mean_gap_s=" in rows[0]["value"]
+
+
+def test_validate_conversations_table(corpus, ray_session):
+    """conv_rules / validate_conversations runs the conversations table
+    through the validator and attaches its verdict to extras."""
+    run = validate_transcripts(corpus["turns_dir"], corpus["conversations"],
+                               validate_conversations=True)
+    conv = run.extras["conversations"]
+    assert conv["verdict"]["n_rows"] > 0
+    assert "errors" in conv["verdict"]

@@ -20,9 +20,11 @@ def corpus(tmp_path_factory, ray_session):
     return write_corpus(spec, str(out), files=4)
 
 
-def _mtimes(mdir):
+def _mtimes(mdir, include_meta=False):
     return {f: os.path.getmtime(os.path.join(mdir, f))
-            for f in os.listdir(mdir) if f.endswith(".json")}
+            for f in os.listdir(mdir)
+            if f.endswith(".json")
+            and (include_meta or not f.startswith("_"))}
 
 
 def test_kill_and_resume(corpus, tmp_path):
@@ -45,7 +47,8 @@ def test_kill_and_resume(corpus, tmp_path):
     # committed partitions were NOT recomputed
     for f, t in before.items():
         assert after[f] == t
-    assert len(after) == 4 + 1  # 4 partitions + _groupcheck
+    assert len(after) == 4  # 4 partition manifests (+_groupcheck/_run meta)
+    assert len(_mtimes(mdir, include_meta=True)) == 4 + 2
 
     # merged verdict matches a fresh single-pass run
     fresh = validate_transcripts(corpus["turns_dir"], corpus["conversations"])
@@ -111,3 +114,32 @@ def test_validate_table_core_public_api():
     assert out["report"] is rep
     log = rep.get_log()
     assert log.startswith("# custom") and "'wizard'" in log
+
+
+def test_regroup_does_not_double_count(corpus, tmp_path):
+    """Re-running with a different files_per_partition leaves the old
+    partition manifests on disk — merge_run must fold only the CURRENT
+    grouping's manifests (run-level lineage), not double-count stale ones."""
+    out = str(tmp_path / "run")
+    rules = transcript_rules()
+    first = run_resumable(corpus["turns_dir"], corpus["conversations"], out,
+                          rules, files_per_partition=1)
+    # second run over the same out_dir with coarser grouping: every
+    # partition id changes, the four old manifests stay behind
+    second = run_resumable(corpus["turns_dir"], corpus["conversations"], out,
+                           rules, files_per_partition=2)
+    assert (second.errors, second.warnings, second.n_rows) == \
+        (first.errors, first.warnings, first.n_rows)
+    assert second.extras["violation_counts"] == \
+        first.extras["violation_counts"]
+
+
+def test_merge_refuses_incomplete_lineage(corpus, tmp_path):
+    """merge_run on a killed (incomplete) run raises instead of silently
+    under-counting."""
+    out = str(tmp_path / "run")
+    rules = transcript_rules()
+    assert run_resumable(corpus["turns_dir"], corpus["conversations"], out,
+                         rules, max_partitions=2) is None
+    with pytest.raises(ValueError, match="lineage-stale"):
+        merge_run(out, rules)
