@@ -105,6 +105,19 @@ def run_bench() -> dict:
     timed("lineitem_full_suite", lineitem_full)
     timed("pricing_summary", lambda: consume(q.pricing_summary(SF_DIR)))
     timed("dedup_minhash", lambda: consume(q.minhash_pairs_documents(SF_DIR)))
+    timed("dedup_simhash", lambda: consume(q.simhash_pairs_documents(SF_DIR)))
+
+    def near_dup_lsh():
+        import ray.data as _rd
+        from crn_meta_validate_ray.stages.similarity import (
+            embedding_near_dup_pairs)
+        ds = _rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        # force the bucketed scale path (auto would broadcast at this N)
+        return consume(embedding_near_dup_pairs(ds, threshold=0.99,
+                                                mode="lsh"))
+
+    timed("near_dup_lsh", near_dup_lsh)
     timed("text_stats", lambda: (consume(q.token_stats_documents(SF_DIR)),
                                  consume(q.quality_documents(SF_DIR)),
                                  consume(q.langid_documents(SF_DIR))))

@@ -190,6 +190,59 @@ def _candidate_stage(max_bucket: int):
     return pairs
 
 
+SMALL_PAIR_GUARD = 32_768
+
+
+def _verify_pairs_driver(pairs: "rd.Dataset", sigrows: "rd.Dataset",
+                         threshold: float, exact_jaccard: bool
+                         ) -> "rd.Dataset":
+    """Bounded-small verify: collect the candidate pairs (≤
+    ``SMALL_PAIR_GUARD``), broadcast the referenced doc ids, pull ONLY
+    those docs' signatures map-side, and verify vectorized locally."""
+    import ray
+
+    pr = pairs.select_columns(["id_a", "id_b"]).to_pandas() \
+        .drop_duplicates(subset=["id_a", "id_b"], keep="first")
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    if not len(pr):
+        return rd.from_arrow(empty)
+    needed_ref = ray.put(pa.array(
+        np.unique(np.concatenate([pr["id_a"].to_numpy(),
+                                  pr["id_b"].to_numpy()]))))
+
+    def pull(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["doc_id"], value_set=ray.get(needed_ref))
+        return t.filter(keep)
+
+    sig_map, gram_map = {}, {}
+    for b in sigrows.map_batches(pull, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+            .iter_batches(batch_size=1 << 14, batch_format="pyarrow"):
+        ids = b["doc_id"].to_pylist()
+        for i, s in zip(ids, b["sig"].to_pylist()):
+            sig_map[i] = np.asarray(s, dtype=np.int64)
+        if exact_jaccard:
+            for i, g in zip(ids, b["grams"].to_pylist()):
+                gram_map[i] = np.asarray(g, dtype=np.int64)
+    A = np.vstack([sig_map[i] for i in pr["id_a"]])
+    B = np.vstack([sig_map[i] for i in pr["id_b"]])
+    sims = (A == B).mean(axis=1)
+    if exact_jaccard:
+        for k, (a, b_) in enumerate(zip(pr["id_a"], pr["id_b"])):
+            ga, gb = gram_map.get(a), gram_map.get(b_)
+            if ga is not None and gb is not None and ga.size and gb.size:
+                inter = np.intersect1d(ga, gb, assume_unique=True).size
+                union = ga.size + gb.size - inter
+                sims[k] = inter / union if union else 0.0
+    hit = sims >= threshold
+    out = pr[hit].reset_index(drop=True)
+    out["jaccard"] = sims[hit]
+    return rd.from_arrow(pa.Table.from_pandas(out, schema=empty.schema,
+                                              preserve_index=False))
+
+
 def _attach_verify(pairs: "rd.Dataset", sigrows: "rd.Dataset",
                    threshold: float, exact_jaccard: bool,
                    sim_col: str = "jaccard") -> "rd.Dataset":
@@ -222,6 +275,10 @@ def _attach_verify(pairs: "rd.Dataset", sigrows: "rd.Dataset",
     def attach_a(df: pd.DataFrame) -> pa.Table:
         sig = df[df["is_sig"]]
         pr = df[~df["is_sig"]][["key", "id_a", "id_b"]]
+        # a pair can surface from several bands; all copies share id_a and
+        # therefore this bucket — dedupe here instead of a dedicated
+        # exchange (saves one full shuffle wave)
+        pr = pr.drop_duplicates(subset=["id_a", "id_b"], keep="first")
         m = pr.merge(
             sig[["key", "sig", "grams"]].rename(
                 columns={"sig": "sig_a", "grams": "grams_a"}), on="key")
@@ -338,10 +395,19 @@ def minhash_lsh_pairs(
         .select_columns(["doc_id", "sig", "grams"])
     cand = grouped_map(bandrows, ["band_id", "band_hash"],
                        _candidate_stage(max_bucket))
-    # a pair can surface from several bands — keep one row per pair
-    cand = drop_duplicate_rows(cand, ["id_a", "id_b"])
     pairs = cand.filter(expr="id_a >= 0")
-    verified = _attach_verify(pairs, sigrows, threshold, exact_jaccard)
+    n_pairs = pairs.count()
+    if n_pairs <= SMALL_PAIR_GUARD:
+        # bounded driver shortcut: ≤ guard pairs ⇒ ≤ 2×guard signatures
+        # (~32 MB at 64×int64) — verify locally, skip two exchange waves.
+        # Above the guard the distributed attach path runs (scale path).
+        verified = _verify_pairs_driver(pairs, sigrows, threshold,
+                                        exact_jaccard)
+    else:
+        # per-pair dedupe happens inside the attach exchange (keyed by
+        # id_a, so every copy of a pair co-locates); markers are unique
+        # per bucket
+        verified = _attach_verify(pairs, sigrows, threshold, exact_jaccard)
     if not with_stats:
         return verified
     markers = cand.filter(expr="id_a < 0").select_columns(["n_dropped"]) \

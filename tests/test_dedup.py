@@ -226,3 +226,22 @@ def test_embedding_near_dup_bucketed(ray_session):
             for r in embedding_near_dup_pairs(
                 ds, threshold=0.99).take_all()}
     assert auto == exact
+
+
+def test_minhash_driver_and_distributed_verify_agree(ray_session,
+                                                     monkeypatch):
+    """The bounded driver verify shortcut and the distributed attach path
+    must produce identical pairs."""
+    import crn_meta_validate_ray.stages.dedup as dd
+
+    texts = [BASE, BASE + " tail", BASE.replace("fox", "cat"),
+             "completely different text about rivers"] * 3
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string())}))
+    small = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+             for r in minhash_lsh_pairs(ds, threshold=0.5).take_all()}
+    monkeypatch.setattr(dd, "SMALL_PAIR_GUARD", -1)  # force attach path
+    dist = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in minhash_lsh_pairs(ds, threshold=0.5).take_all()}
+    assert small and small == dist
