@@ -526,7 +526,14 @@ def simhash_pairs(ds: "rd.Dataset", *, text_col: str = "text",
             "n_dropped": pd.Series(cols["n_dropped"], dtype=np.int64)})
 
     cand = grouped_map(rows, ["band_id", "band_val"], pairs)
-    cand = drop_duplicate_rows(cand, ["id_a", "id_b"])
+    if cand.count() <= SMALL_PAIR_GUARD:
+        # bounded driver dedupe: skip the second exchange wave when the
+        # candidate stream is small (the common case — pairs, not docs)
+        df = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"],
+                                              keep="first")
+        cand = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    else:
+        cand = drop_duplicate_rows(cand, ["id_a", "id_b"])
     out = cand.filter(expr="id_a >= 0") \
         .select_columns(["id_a", "id_b", "hamming"])
     if not with_stats:

@@ -319,6 +319,11 @@ def _near_dup_lsh(narrow: "rd.Dataset", threshold: float, id_col: str,
         grouped_map
 
     cand = grouped_map(rows, ["table_id", "bucket"], within)
+    if cand.count() <= 32_768:
+        # bounded driver dedupe (pairs, not vectors) — skips one exchange
+        df = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"],
+                                              keep="first")
+        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
     return drop_duplicate_rows(cand, ["id_a", "id_b"])
 
 
