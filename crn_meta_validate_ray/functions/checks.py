@@ -137,6 +137,15 @@ class CompiledFieldRule:
                 m = _to_bool_np(pc.is_in(s, value_set=pa.array(sorted(ok_set),
                                                                type=pa.string())))
             return special | m
+        if dt == "Custom":
+            # user-extension hook (SURVEY §2.11): registered vectorized
+            # predicate over the normalized string view; specials always pass
+            from crn_meta_validate_ray.registry import get_custom_check
+            special = self._special_mask(s)
+            mask = get_custom_check(self.rule.validation)(s)
+            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                mask = _to_bool_np(mask)
+            return special | np.asarray(mask, dtype=bool)
         if dt == "Timestamp":
             special = self._special_mask(s)
             stripped = pc.replace_substring_regex(s, _TS_FRACTION_RE, r"\1")

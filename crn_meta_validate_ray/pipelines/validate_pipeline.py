@@ -135,6 +135,9 @@ def expected_description(rule) -> str:
         return f"Regex /{rule.regex_pattern()}/ or FillNull values ({fn})"
     if dt == "Timestamp":
         return f"timestamp or NULL ('{NULL_SENTINEL}') or FillNull values ({fn})"
+    if dt == "Custom":
+        return (f"values accepted by custom check '{rule.validation}' or "
+                f"NULL ('{NULL_SENTINEL}') or FillNull values ({fn})")
     return "any value"
 
 

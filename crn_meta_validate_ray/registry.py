@@ -31,7 +31,33 @@ NULL_SENTINEL = "NA"
 NULL_LIKE_TOKENS = ("none", "None", "nan", "NaN", "NAN", "N/A", "n/a")
 
 VALID_REQUIRED = ("Required", "Optional", "Assigned", "Alias")
-VALID_DATATYPES = ("Integer", "Float", "Enum", "Regex", "String", "Timestamp")
+VALID_DATATYPES = ("Integer", "Float", "Enum", "Regex", "String", "Timestamp",
+                   "Custom")
+
+# --- user-extension surface (SURVEY §2.11): custom constraint kinds -------
+# A custom check is registered by NAME and referenced from a FieldRule as
+# ``FieldRule(col, "Required", "Custom", "name")`` — the rule stays
+# JSON-serializable and the constraint-set content hash stays stable (the
+# hash covers the name, so renaming/re-pointing a check invalidates
+# checkpoint lineage, as a semantic change should).  The callable receives
+# the null-normalized string view of the column (pa.Array) and returns a
+# boolean validity mask (np.ndarray or pa.Array) — vectorize it; it runs
+# once per batch inside the fused validation pass.  Register at module
+# import time so Ray workers (which import the library) see it too.
+CUSTOM_CHECKS: dict = {}
+
+
+def register_custom_check(name: str, fn) -> None:
+    CUSTOM_CHECKS[str(name)] = fn
+
+
+def get_custom_check(name: str):
+    try:
+        return CUSTOM_CHECKS[str(name)]
+    except KeyError:
+        raise RegistryError(
+            f"custom check {name!r} is not registered (register_custom_check "
+            "must run at import time in every worker)") from None
 
 # Truthiness set for AllowMultiEnum — reference utils/validate_core.py:284-285
 # (Excel stores 1 as float, so str() gives "1.0").
@@ -112,6 +138,12 @@ class FieldRule:
         elif self.datatype == "Regex":
             if self.validation is None or not str(self.validation).strip():
                 raise RegistryError(f"Regex rule {self.field!r} has empty Validation")
+            object.__setattr__(self, "validation", str(self.validation).strip())
+        elif self.datatype == "Custom":
+            if self.validation is None or not str(self.validation).strip():
+                raise RegistryError(
+                    f"Custom rule {self.field!r} needs the registered check "
+                    "name in Validation")
             object.__setattr__(self, "validation", str(self.validation).strip())
 
     @property

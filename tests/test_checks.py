@@ -3,6 +3,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from crn_meta_validate_ray.functions.checks import CompiledFieldRule
 from crn_meta_validate_ray.registry import FieldRule, parse_allow_multi
@@ -113,3 +114,30 @@ def test_timestamp_fraction_strip_is_anchored():
                   "2024-01-01T10:00:00.999",  # genuine fraction: valid
                   "2024-01-01 10:00:00.1"]))  # genuine fraction: valid
     assert list(valid) == [False, False, True, True]
+
+
+def test_custom_check_hook():
+    """SURVEY §2.11 UDF hook: a registered named vectorized predicate runs
+    as a first-class constraint; specials still pass; unregistered name
+    raises loudly."""
+    import pyarrow.compute as pc_
+
+    from crn_meta_validate_ray.registry import (RegistryError,
+                                                register_custom_check)
+
+    register_custom_check(
+        "even_length", lambda s: pc_.equal(
+            pc_.bit_wise_and(pc_.utf8_length(s), 1), 0))
+    rule = FieldRule("x", "Required", "Custom", "even_length",
+                     fillnull=["skip"])
+    valid, _, n_null = CompiledFieldRule(rule).check(
+        pa.array(["ab", "abc", "abcd", "skip", None, "NA"]))
+    # None normalizes to 'NA' (len 2 → even anyway); specials always pass
+    assert list(valid) == [True, False, True, True, True, True]
+
+    bad = FieldRule("x", "Required", "Custom", "no_such_check")
+    with pytest.raises(RegistryError, match="not registered"):
+        CompiledFieldRule(bad).check(pa.array(["a"]))
+
+    with pytest.raises(RegistryError, match="needs the registered"):
+        FieldRule("x", "Required", "Custom")
