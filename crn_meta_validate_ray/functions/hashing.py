@@ -40,6 +40,25 @@ class MinHasher:
     def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float((sig_a == sig_b).mean())
 
+    def signatures_from_grams(self, gram_hashes: np.ndarray,
+                              counts: np.ndarray) -> np.ndarray:
+        """(n_docs, H) signatures from packed per-doc gram-hash sets
+        (doc-major, ``counts[i]`` hashes for doc i) — segmented min via
+        ``np.minimum.reduceat`` over the non-empty segments; empty docs
+        get the all-max empty signature."""
+        nd = len(counts)
+        sigs = np.full((nd, self.num_hashes), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        ne = np.nonzero(counts > 0)[0]
+        if not ne.size:
+            return sigs
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1][ne]
+        with np.errstate(over="ignore"):
+            for i in range(self.num_hashes):
+                x = (self.a[i] * gram_hashes + self.b[i]) % _MERSENNE_P
+                sigs[ne, i] = np.minimum.reduceat(x, starts)
+        return sigs
+
     def batch_signatures_chars(self, texts: list, k: int = 5) -> np.ndarray:
         """(n_docs, H) signatures over byte-level k-gram shingles, fully
         vectorized: one rolling-window hash over the concatenated utf-8

@@ -35,9 +35,9 @@ from crn_meta_validate_ray.functions.hashing import (
 )
 from crn_meta_validate_ray.stages.common import drop_duplicate_rows, grouped_map
 from crn_meta_validate_ray.functions.text import (
+    batch_word_gram_hashes,
     char_shingles,
     fingerprint_md5,
-    word_ngrams,
 )
 
 DEFAULT_MAX_BUCKET = 256
@@ -102,20 +102,30 @@ class _SignatureStage:
                 "sig": pa.array([], type=pa.list_(pa.int64())),
                 "grams": pa.array([], type=pa.list_(pa.int64())),
             })
+        gram_vals = gram_counts = None
         if not self.use_word_ngrams and not self.carry_ngrams:
             # fast path: batched byte-shingle signatures, no per-doc loop
             sigs_m = self.hasher.batch_signatures_chars(texts, self.shingle_k)
-            grams_per_doc = [[]] * n
-        else:
+        elif self.use_word_ngrams:
+            # batch-vectorized word n-grams (token hashes combined by a
+            # windowed polynomial fold — no per-doc Python loop)
+            gram_vals, gram_counts = batch_word_gram_hashes(texts,
+                                                            self.shingle_k)
+            sigs_m = self.hasher.signatures_from_grams(gram_vals,
+                                                       gram_counts)
+            if not self.carry_ngrams:
+                gram_vals = gram_counts = None
+        else:  # char shingles + exact-verify carry (non-default)
             sigs_m = np.empty((n, H), dtype=np.uint64)
-            grams_per_doc = []
+            grams_list = []
             for i, t in enumerate(texts):
-                t = t or ""
-                sh = (word_ngrams(t, self.shingle_k) if self.use_word_ngrams
-                      else char_shingles(t, self.shingle_k))
+                sh = char_shingles(t or "", self.shingle_k)
                 sigs_m[i] = self.hasher.signature(sh)
-                grams_per_doc.append(
-                    sh.astype(np.int64).tolist() if self.carry_ngrams else [])
+                grams_list.append(sh)
+            gram_vals = (np.concatenate(grams_list) if grams_list
+                         else np.empty(0, dtype=np.uint64))
+            gram_counts = np.array([len(s) for s in grams_list],
+                                   dtype=np.int64)
         # band hashes for all docs at once: polynomial fold per band
         rows_per_band = H // self.bands
         sig_resh = sigs_m[:, : self.bands * rows_per_band] \
@@ -141,9 +151,16 @@ class _SignatureStage:
             np.arange(0, (n + 1) * H, H, dtype=np.int32),
             pa.array(sigs_m.reshape(-1).astype(np.int64)))
         sig_col = pa.concat_arrays([empty_lists, sig_lists])
-        grams_col = pa.concat_arrays([
-            empty_lists,
-            pa.array(grams_per_doc, type=pa.list_(pa.int64()))])
+        if gram_vals is None:
+            doc_grams = pa.ListArray.from_arrays(
+                np.zeros(n + 1, dtype=np.int32),
+                pa.array([], type=pa.int64()))
+        else:
+            doc_grams = pa.ListArray.from_arrays(
+                np.concatenate(([0], np.cumsum(gram_counts)))
+                .astype(np.int32),
+                pa.array(gram_vals.astype(np.int64)))
+        grams_col = pa.concat_arrays([empty_lists, doc_grams])
         return pa.table({
             "band_id": pa.array(band_id),
             "band_hash": pa.array(band_hash),

@@ -64,3 +64,30 @@ def test_shingles_and_ngrams():
     assert len(char_shingles("", 5)) == 0
     g = word_ngrams("a b c d", 3)
     assert len(g) == 2
+
+
+def test_batch_word_gram_hashes_cardinality_parity():
+    import numpy as np
+
+    """Vectorized word-n-gram sets: per-doc set sizes and all pairwise
+    intersection/union sizes match the per-doc reference construction
+    (values differ by design — token-hash combine vs gram-string hash)."""
+    from crn_meta_validate_ray.functions.text import (batch_word_gram_hashes,
+                                                      word_ngrams)
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown cat jumps over the lazy dog",
+             "one two", "single", "", None, "a  b\t c d e f g"]
+    g, cnt = batch_word_gram_hashes(texts, 3)
+    offs = np.concatenate(([0], np.cumsum(cnt)))
+    sets_new = [g[offs[i]:offs[i + 1]] for i in range(len(texts))]
+    sets_old = [word_ngrams((t or ""), 3) for t in texts]
+    for sn, so in zip(sets_new, sets_old):
+        assert len(sn) == len(so)
+        assert np.all(np.sort(sn) == sn)  # sorted unique within doc
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter_new = np.intersect1d(sets_new[i], sets_new[j],
+                                       assume_unique=True).size
+            inter_old = np.intersect1d(sets_old[i], sets_old[j],
+                                       assume_unique=True).size
+            assert inter_new == inter_old, (i, j)
