@@ -129,6 +129,7 @@ def validate_transcripts(
             ref_mode == "auto"
             and convs.count() <= 2_000_000)
         if use_broadcast:
+            from crn_meta_validate_ray.stages.refcheck import sorted_key_array
             distinct = pc.unique(pa.concat_arrays([
                 pa.concat_arrays(
                     pc.cast(b[ref_col.target_column], pa.string()).chunks
@@ -136,7 +137,10 @@ def validate_transcripts(
                 for b in convs.iter_batches(batch_size=1 << 20,
                                             batch_format="pyarrow")
             ] or [pa.array([], type=pa.string())]))
-            ref_rules_keys.append((ref_col, ray.put(distinct)))
+            # sorted once here: workers do searchsorted membership instead
+            # of rebuilding an is_in value-set index per batch
+            ref_rules_keys.append((ref_col,
+                                   ray.put(sorted_key_array(distinct))))
         else:
             fk_cols = sorted({ref_col.column} | set(rules.locator) & available)
 

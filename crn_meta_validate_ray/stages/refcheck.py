@@ -32,6 +32,33 @@ from crn_meta_validate_ray.stages.validate import FINDINGS_SCHEMA, make_locator_
 BROADCAST_MAX_KEYS = 2_000_000
 
 
+def sorted_key_array(distinct: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Sorted numpy unicode key array for binary-search membership.
+
+    Built ONCE (driver side, before ``ray.put``): ``pc.is_in`` re-indexes
+    its value set on EVERY call — measured 255 ms/batch at 1.7M keys vs
+    3 ms for ``np.searchsorted`` on a pre-sorted array, which made the
+    fused broadcast ref-check super-linear in |target| × batches."""
+    if isinstance(distinct, pa.ChunkedArray):
+        distinct = distinct.combine_chunks()
+    if distinct.null_count:
+        distinct = distinct.drop_null()
+    return np.sort(np.asarray(distinct, dtype=str))
+
+
+def membership_mask(col: pa.Array | pa.ChunkedArray,
+                    keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of a string column in a sorted key array;
+    nulls are non-members (same verdict as the is_in + fill_null path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = np.asarray(pc.fill_null(col, "\x00\x00<null>"), dtype=str)
+    if keys.size == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.clip(np.searchsorted(keys, vals), 0, keys.size - 1)
+    return keys[pos] == vals
+
+
 def _violation_table(table: str, rule: RefRule, values, row_keys, sort_keys
                      ) -> pa.Table:
     n = len(values)
@@ -65,13 +92,15 @@ class _BroadcastAntiJoin:
         self.table = table
         self.rule = rule
         self.locator = locator
-        keys = ray.get(keys_ref) if not isinstance(keys_ref, pa.Array) else keys_ref
-        self.keys = keys  # pa.Array of distinct target keys
+        keys = ray.get(keys_ref) \
+            if not isinstance(keys_ref, (pa.Array, np.ndarray)) else keys_ref
+        if not isinstance(keys, np.ndarray):  # legacy arrow input
+            keys = sorted_key_array(keys)
+        self.keys = keys  # sorted numpy unicode array of target keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = pc.cast(batch[self.rule.column], pa.string())
-        ok = pc.is_in(col, value_set=self.keys)
-        bad = np.nonzero(~np.asarray(pc.fill_null(ok, False).combine_chunks()))[0]
+        bad = np.nonzero(~membership_mask(col, self.keys))[0]
         if bad.size == 0:
             return FINDINGS_SCHEMA.empty_table()
         row_key, sort_key = make_locator_keys(batch, self.locator)
@@ -110,17 +139,16 @@ def referential_findings(
                     for b in tkeys.iter_batches(batch_size=1 << 20,
                                                 batch_format="pyarrow")
                 ] or [pa.array([], type=pa.string())]))
-            keys_ref = ray.put(distinct)
+            keys_ref = ray.put(sorted_key_array(distinct))
             table_name, locator = rules.table, rules.locator
 
             def anti(batch: pa.Table) -> pa.Table:
                 # stateless task: ray.get of a local object is ~free after
-                # the first call on each worker (no actor-pool startup)
+                # the first call on each worker (no actor-pool startup);
+                # the sorted key array was built once on the driver
                 keys = ray.get(keys_ref)
                 col = pc.cast(batch[rule.column], pa.string())
-                ok = pc.is_in(col, value_set=keys)
-                bad = np.nonzero(
-                    ~np.asarray(pc.fill_null(ok, False).combine_chunks()))[0]
+                bad = np.nonzero(~membership_mask(col, keys))[0]
                 if bad.size == 0:
                     return FINDINGS_SCHEMA.empty_table()
                 row_key, sort_key = make_locator_keys(batch, locator)
