@@ -190,7 +190,15 @@ def run_scaling():
     _scaling_corpus()  # generate once, outside either measured process
 
     def one(ncpu: int) -> dict:
+        # pin one physical plan (exchange bucket count) across both CPU
+        # levels — otherwise the low level runs fewer exchange waves and
+        # the ratio under-reports true scaling
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("RAY_GRAFT_NUM_BUCKETS", str(
+            max(8, min(128, 2 * int(os.environ.get(
+                "BENCH_SCALE_HI", str(int(os.environ.get(
+                    "BENCH_SCALE_LO", "2")) * 4))))))
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
              str(ncpu)],

@@ -38,6 +38,12 @@ def resolve_num_buckets(num_buckets: int | None) -> int:
     worker's heap (e.g. total_bytes / 256 MiB)."""
     if num_buckets is not None:
         return num_buckets
+    import os
+    env = os.environ.get("RAY_GRAFT_NUM_BUCKETS")
+    if env:
+        # explicit override — e.g. the scaling bench pins the SAME bucket
+        # count at both CPU levels so both measure one physical plan
+        return max(1, int(env))
     try:
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 8))
