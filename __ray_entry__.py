@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_first_documents": q.dedup_keep_first_documents,
         "minhash_pairs_documents": q.minhash_pairs_documents,
         "simhash_pairs_documents": q.simhash_pairs_documents,
+        "jaccard_pairs_documents": q.jaccard_pairs_documents,
         # similarity search
         "knn_embeddings": q.knn_embeddings,
         "lsh_ann_embeddings": q.lsh_ann_embeddings,
@@ -100,8 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_embeddings": q.near_dup_embeddings,
         # multimodal plumbing (stubbed decoder; rows-only)
         "media_decode_features": q.media_decode_features,
+        # custom joins beyond as-of
+        "range_join_events": q.range_join_events,
         # windowed / stream-shaped
         "tumbling_events": q.tumbling_events,
+        "hopping_events": q.hopping_events,
         "sessions_events": q.sessions_events,
         # flagship transcript engine (non-SQL: full constraint suite)
         "transcript_violations": q.transcript_violations,
@@ -329,6 +333,52 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY text) k
               ON d.doc_id = k.keep
         """,
+        "jaccard_pairs_documents": r"""
+            WITH g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2,
+                        CASE WHEN len(toks) > 0 AND len(toks) < 3
+                             THEN 1 ELSE 0 END)),
+                    i -> CASE WHEN len(toks) >= 3
+                              THEN toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]
+                              ELSE array_to_string(toks, ' ') END)) AS grams
+                FROM (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+')
+                                 AS toks
+                      FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(list_distinct(a.grams || b.grams)), 6)
+                       AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / len(list_distinct(a.grams || b.grams)) >= 0.5
+        """,
+        "range_join_events": """
+            SELECT p.event_id, count(*) AS n_clicks
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
+        """,
+        "hopping_events": """
+            WITH w AS (
+                SELECT event_type, value,
+                       unnest(generate_series(
+                           CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                               - 5400,
+                           CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800,
+                           CAST(1800 AS BIGINT))) AS window_start
+                FROM events
+            )
+            SELECT event_type, window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM w GROUP BY event_type, window_start
+        """,
         "tumbling_events": """
             SELECT event_type,
                    -- floor, not ::BIGINT (DuckDB casts round-to-nearest)
@@ -373,9 +423,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_idx, rank, vec_id FROM ranked WHERE rank < 5
         """,
         "near_dup_embeddings": """
+            -- 0.465 sits mid-gap in the pairwise-cosine distribution at
+            -- sf0.01 so the engine's f32 matmul and DuckDB's f64 cosine
+            -- agree on membership with wide margin — and rows > 0
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.465
         """,
         # langid / quality scoring / minhash / simhash / transcript engine:
         # heuristic or sketch-based — intentionally no SQL oracle

@@ -459,9 +459,13 @@ def knn_embeddings(sf_dir: str):
 
 
 def near_dup_embeddings(sf_dir: str):
+    """Embedding cosine near-dup pairs.  Threshold 0.465 sits mid-gap in
+    the synthetic corpus's pairwise-cosine distribution at sf0.01 (pair
+    cosines ...0.460, 0.467... — margin ≫ f32-vs-f64 rounding), so the
+    oracle comparison checks real rows instead of an empty set."""
     ds = rd.read_parquet(_p(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    out = embedding_near_dup_pairs(ds, threshold=0.99)
+    out = embedding_near_dup_pairs(ds, threshold=0.465)
     out = out.map_batches(
         lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"]}),
         batch_format="pyarrow")
@@ -469,7 +473,70 @@ def near_dup_embeddings(sf_dir: str):
         ("id_a", pa.int64()), ("id_b", pa.int64())]))
 
 
+def jaccard_pairs_documents(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs (inverted-index candidates
+    + exact set verify) — unlike the LSH variants this is oracle-checkable:
+    DuckDB replicates it with list_intersect/list_distinct arithmetic."""
+    from crn_meta_validate_ray.stages.dedup import ngram_jaccard_exact_pairs
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ngram_jaccard_exact_pairs(ds, threshold=0.5, ngram=3)
+
+    def roundcols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": pc.cast(t["id_a"], pa.int64()),
+            "id_b": pc.cast(t["id_b"], pa.int64()),
+            "jaccard": pc.round(t["jaccard"], 6)})
+
+    out = out.map_batches(roundcols, batch_format="pyarrow")
+    return collect_with_schema(out, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("jaccard", pa.float64())]))
+
+
+def range_join_events(sf_dir: str):
+    """Range (interval) join custom operator: for each purchase event, the
+    number of click events by the same user in the preceding 24 hours."""
+    from crn_meta_validate_ray.stages.rangejoin import range_join_count
+    purchases = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"]) \
+        .filter(expr="event_type == 'purchase'")
+    clicks = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"]) \
+        .filter(expr="event_type == 'click'")
+    out = range_join_count(purchases, clicks, left_key="user_id",
+                           right_key="user_id", left_ts="ts", right_ts="ts",
+                           lo_s=-86400, hi_s=0, left_id="event_id")
+    out = out.filter(expr="n_matches > 0")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["left_id"],
+                         "n_clicks": t["n_matches"]})
+
+    out = out.map_batches(project, batch_format="pyarrow")
+    return collect_with_schema(out, pa.schema([
+        ("event_id", pa.int64()), ("n_clicks", pa.int64())]))
+
+
 # --------------------------------------------------------------- windows
+
+def hopping_events(sf_dir: str):
+    """Hopping (sliding) windows: 2-hour windows every 30 minutes."""
+    from crn_meta_validate_ray.stages.window import hopping_aggregate
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+    out = hopping_aggregate(ds, window_s=7200, hop_s=1800)
+
+    def roundcols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": pc.cast(t["window_start"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.round(t["sum_value"], 4),
+        })
+
+    return out.map_batches(roundcols, batch_format="pyarrow")
+
 
 def tumbling_events(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"),

@@ -442,6 +442,94 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, threshold: float = 0.7,
                              use_word_ngrams=True, exact_jaccard=True, **kw)
 
 
+class _GramPostingStage:
+    """Per-batch inverted-index emitter for the EXACT n-gram Jaccard path:
+    one posting row (band_id=0, band_hash=gram_hash, doc_id) per distinct
+    word-n-gram per doc, plus one doc row (band_id=-1) carrying the full
+    hashed gram set — same schema as ``_SignatureStage`` so the candidate
+    and verify stages are shared (``sig`` is a 1-element dummy; the exact
+    verify never reads it for docs with grams)."""
+
+    def __init__(self, text_col: str, id_col: str, ngram: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.ngram = ngram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        n = len(texts)
+        g, cnt = batch_word_gram_hashes(texts, self.ngram)
+        tot = len(g)
+        band_id = np.concatenate([np.zeros(tot, dtype=np.int32),
+                                  np.full(n, -1, dtype=np.int32)])
+        band_hash = np.concatenate([g.astype(np.int64),
+                                    np.zeros(n, dtype=np.int64)])
+        doc_id = np.concatenate([np.repeat(ids, cnt), ids])
+        empty_post = pa.ListArray.from_arrays(
+            np.zeros(tot + 1, dtype=np.int32), pa.array([], type=pa.int64()))
+        doc_grams = pa.ListArray.from_arrays(
+            np.concatenate(([0], np.cumsum(cnt))).astype(np.int32),
+            pa.array(g.astype(np.int64)))
+        dummy_sig = pa.ListArray.from_arrays(
+            np.arange(n + 1, dtype=np.int32), pa.array(
+                np.zeros(n, dtype=np.int64)))
+        return pa.table({
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash),
+            "doc_id": pa.array(doc_id),
+            "sig": pa.concat_arrays([empty_post, dummy_sig]),
+            "grams": pa.concat_arrays([empty_post, doc_grams]),
+        })
+
+
+def ngram_jaccard_exact_pairs(
+    ds: "rd.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ngram: int = 3,
+    max_posting: int = 4096,
+    with_stats: bool = False,
+):
+    """EXACT word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
+    threshold) — no LSH recall loss: candidates are every pair sharing at
+    least one n-gram (inverted-index join on the gram hash), which covers
+    every pair with Jaccard > 0, so the output is exact up to 64-bit gram
+    collisions and postings hotter than ``max_posting`` (capped buckets
+    are dropped-and-counted; with ``threshold`` ≥ ~0.3 a qualifying pair
+    shares many grams, so one hot gram cannot hide it).
+
+    SQL-oracle parity: DuckDB can replicate this exactly (distinct n-gram
+    lists + list_intersect/list_distinct arithmetic) — see
+    ``__ray_entry__.oracle_sql['jaccard_pairs_documents']``."""
+    narrow = ds.select_columns([id_col, text_col])
+    rows = narrow.map_batches(_GramPostingStage(text_col, id_col, ngram),
+                              batch_format="pyarrow",
+                              batch_size=2048).materialize()
+    postings = rows.filter(expr="band_id >= 0") \
+        .select_columns(["band_id", "band_hash", "doc_id"])
+    sigrows = rows.filter(expr="band_id < 0") \
+        .select_columns(["doc_id", "sig", "grams"])
+    cand = grouped_map(postings, ["band_id", "band_hash"],
+                       _candidate_stage(max_posting))
+    pairs = cand.filter(expr="id_a >= 0")
+    if pairs.count() <= SMALL_PAIR_GUARD:
+        verified = _verify_pairs_driver(pairs, sigrows, threshold,
+                                        exact_jaccard=True)
+    else:
+        verified = _attach_verify(pairs, sigrows, threshold,
+                                  exact_jaccard=True)
+    if not with_stats:
+        return verified
+    markers = cand.filter(expr="id_a < 0").select_columns(["n_dropped"]) \
+        .take_all()
+    stats = {"n_buckets_skipped": len(markers),
+             "n_docs_dropped": int(sum(r["n_dropped"] for r in markers))}
+    return verified, stats
+
+
 class _SimHashStage:
     """Batch-vectorized SimHash band emitter: Arrow whitespace-split over
     the whole batch, ONE ``pd.util.hash_array`` call over the flattened

@@ -68,6 +68,58 @@ def tumbling_aggregate(ds: "rd.Dataset", *, ts_col: str = "ts",
     return grouped_map(parts, [key_col, "window_start"], merge)
 
 
+def hopping_aggregate(ds: "rd.Dataset", *, ts_col: str = "ts",
+                      key_col: str = "event_type", value_col: str = "value",
+                      window_s: int = 7200, hop_s: int = 1800
+                      ) -> "rd.Dataset":
+    """Hopping (sliding) windows: every event lands in ``window_s / hop_s``
+    overlapping windows; count/sum per (key, window_start).
+
+    Same two-phase shape as :func:`tumbling_aggregate` — the in-batch
+    combiner emits the replicated window keys AND pre-aggregates them, so
+    the exchange still moves one partial row per (key, window) per batch,
+    not ``window/hop`` copies of every event."""
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    n_win = window_s // hop_s
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    narrow = ds.select_columns([ts_col, key_col, value_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = np.asarray(_ts_epoch_s(t, ts_col))
+        base = (epoch // hop_s) * hop_s  # newest covering window start
+        starts = (base[:, None]
+                  - np.arange(n_win, dtype=np.int64)[None, :] * hop_s)
+        keys = t[key_col].to_pandas()
+        vals = np.asarray(t[value_col].to_pandas(), dtype=np.float64)
+        df = pd.DataFrame({
+            key_col: np.repeat(np.asarray(keys, dtype=object), n_win),
+            "window_start": starts.reshape(-1),
+            value_col: np.repeat(vals, n_win)})
+        g = df.groupby([key_col, "window_start"], sort=False)[value_col] \
+            .agg(n_events="size", sum_value="sum").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = narrow.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key_col, "window_start"], sort=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"),
+        ).reset_index()
+
+    return grouped_map(parts, [key_col, "window_start"], merge)
+
+
+def _ts_epoch_s(t: pa.Table, ts_col: str) -> pa.Array:
+    """Timestamp column → int64 epoch seconds (floor)."""
+    c = pc.cast(pc.floor_temporal(t[ts_col], unit="second"),
+                pa.timestamp("s"))
+    out = pc.cast(c, pa.int64())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def sessionize(ds: "rd.Dataset", *, user_col: str = "user_id",
                ts_col: str = "ts", gap_s: int = 1800,
                value_col: str | None = "value") -> "rd.Dataset":

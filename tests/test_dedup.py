@@ -245,3 +245,61 @@ def test_minhash_driver_and_distributed_verify_agree(ray_session,
     dist = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
             for r in minhash_lsh_pairs(ds, threshold=0.5).take_all()}
     assert small and small == dist
+
+
+def test_ngram_jaccard_exact_pairs(ray_session):
+    """Exact inverted-index Jaccard: every pair ≥ threshold found (no LSH
+    recall loss), values equal brute-force set Jaccard."""
+    from crn_meta_validate_ray.stages.dedup import ngram_jaccard_exact_pairs
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "a completely different sentence with other words here",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "short one",
+        "",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs)}))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_exact_pairs(ds, threshold=0.3,
+                                              ngram=3).take_all()}
+
+    def grams(t):
+        toks = t.split()
+        if not toks:
+            return set()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            ga, gb = grams(docs[a]), grams(docs[b])
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.3:
+                want[(a, b)] = j
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-9
+    assert got[(0, 3)] == 1.0
+
+
+def test_ngram_jaccard_dropped_bucket_census(ray_session):
+    """A hotter-than-max_posting gram is dropped AND counted."""
+    from crn_meta_validate_ray.stages.dedup import ngram_jaccard_exact_pairs
+
+    # every doc shares the single gram "x y z" → one posting bucket of 10
+    docs = [f"x y z tail{i} a{i} b{i}" for i in range(10)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs)}))
+    out, stats = ngram_jaccard_exact_pairs(ds, threshold=0.1, ngram=3,
+                                           max_posting=4, with_stats=True)
+    assert stats["n_buckets_skipped"] >= 1
+    assert stats["n_docs_dropped"] >= 10

@@ -86,3 +86,27 @@ def test_asof_join_backward(ray_session):
     assert math.isnan(vals[3]) and vals[4] == 99.0
     assert list(out.columns) == ["user_id", "ts", "event_type",
                                  "o_orderdate", "o_totalprice"]
+
+
+def test_hopping_aggregate_covering_windows(ray_session):
+    """Every event lands in window_s/hop_s overlapping windows; totals per
+    window match a brute-force pandas expansion."""
+    from crn_meta_validate_ray.stages.window import hopping_aggregate
+    ds = rd.from_arrow(_events())
+    got = {(r["event_type"], r["window_start"]): r
+           for r in hopping_aggregate(ds, window_s=3600,
+                                      hop_s=900).take_all()}
+    df = _events().to_pandas()
+    rows = {}
+    for _, r in df.iterrows():
+        e = r["ts"].value // 10**9  # ns → s
+        base = (e // 900) * 900
+        for i in range(4):  # 3600 / 900 covering windows
+            w = base - i * 900
+            key = (r["event_type"], w)
+            n, s = rows.get(key, (0, 0.0))
+            rows[key] = (n + 1, s + r["value"])
+    assert set(got) == set(rows)
+    for key, (n, s) in rows.items():
+        assert got[key]["n_events"] == n
+        assert abs(got[key]["sum_value"] - s) < 1e-9
