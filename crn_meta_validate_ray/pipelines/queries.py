@@ -652,12 +652,14 @@ def lsh_ann_embeddings(sf_dir: str):
 
 
 def media_decode_features(sf_dir: str):
-    """Multimodal plumbing: synthetic binary media table → actor-pool
-    decode stage (deterministic stub) → fixed-size features (rows-only)."""
+    """Multimodal decode: synthetic binary media table (image rows carry
+    REAL binary-PPM payloads) → actor-pool decode stage (PIL or the
+    built-in pure-numpy netpbm decoder — no stub on the image path) →
+    fixed-size grayscale-thumbnail features (rows-only)."""
     from crn_meta_validate_ray.stages.multimodal import (decode_media,
                                                          synth_media_table)
     ds = rd.from_arrow(synth_media_table(256))
-    out = decode_media(ds, dim=8, fake=True, batch_size=32)
+    out = decode_media(ds, dim=8, batch_size=32)
 
     def project(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc

@@ -1,11 +1,14 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-The Ray-side plumbing is real and tested — schema contract, actor-pool
-stage shape, small batch sizes for large payloads, fixed-size feature
-output — while the actual media decoding is STUBBED: the image/audio
-libraries are not available in this container, so ``DecodeImageStage``
-raises ``NotImplementedError`` unless a decoder is importable or
-``fake=True`` supplies the deterministic test decoder.
+The Ray-side plumbing — schema contract, actor-pool stage shape, small
+batch sizes for large payloads, fixed-size feature output — is real and
+tested, and so is the decode: ``DecodeImageStage`` decodes with PIL when
+importable and otherwise falls back to a built-in pure-numpy netpbm
+(binary PGM ``P5`` / PPM ``P6``) decoder — full header parse (comments,
+arbitrary whitespace), raster length check, Rec.601 grayscale, resize —
+so image decode works even in codec-free containers.  Only *other*
+formats (JPEG/PNG without PIL, audio, video frames) degrade to the
+deterministic byte-slice stub features.
 
 Stage shape rules for binary payloads:
 - keep ``batch_size`` small (payload bytes × batch_size × concurrency must
@@ -34,16 +37,24 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synth_media_table(n: int = 64, seed: int = 13) -> pa.Table:
-    """Deterministic fake media rows (binary payload = seeded bytes whose
-    length scales with the declared dimensions)."""
+    """Deterministic fake media rows.  Image rows carry a VALID binary-PPM
+    (``P6``) payload — header + seeded RGB raster — so the real netpbm
+    decode path is exercised end-to-end without any codec library; audio /
+    video rows carry opaque seeded bytes."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     width = np.where(kinds == "audio", 0, rng.integers(16, 64, n)).astype(np.int32)
     height = np.where(kinds == "audio", 0, rng.integers(16, 64, n)).astype(np.int32)
     dur = np.where(kinds == "image", 0, rng.integers(100, 5000, n)).astype(np.int32)
-    payloads = [rng.integers(0, 256, max(int(w) * int(h), 128),
-                             dtype=np.uint8).tobytes()
-                for w, h in zip(width, height)]
+    payloads = []
+    for k, w, h in zip(kinds, width, height):
+        if k == "image":
+            raster = rng.integers(0, 256, int(w) * int(h) * 3,
+                                  dtype=np.uint8).tobytes()
+            payloads.append(f"P6\n{int(w)} {int(h)}\n255\n".encode() + raster)
+        else:
+            payloads.append(rng.integers(0, 256, max(int(w) * int(h), 128),
+                                         dtype=np.uint8).tobytes())
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array(kinds.astype(object), type=pa.string()),
@@ -54,19 +65,63 @@ def synth_media_table(n: int = 64, seed: int = 13) -> pa.Table:
     })
 
 
+def parse_netpbm(p: bytes) -> np.ndarray | None:
+    """Decode a binary PGM (``P5``) / PPM (``P6``) payload with numpy:
+    header parse (``#`` comments, arbitrary whitespace between fields),
+    raster-length check, Rec.601 grayscale for color.  Returns an (h, w)
+    float32 array in [0, 1], or None if the payload is not a decodable
+    8-bit netpbm image."""
+    if len(p) < 2 or p[0:1] != b"P" or p[1:2] not in (b"5", b"6"):
+        return None
+    channels = 1 if p[1:2] == b"5" else 3
+    i, fields = 2, []
+    while len(fields) < 3 and i < len(p):
+        c = p[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            j = p.find(b"\n", i)
+            if j < 0:
+                return None
+            i = j + 1
+        elif ord("0") <= c <= ord("9"):
+            j = i
+            while j < len(p) and ord("0") <= p[j] <= ord("9"):
+                j += 1
+            fields.append(int(p[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3:
+        return None
+    w, h, maxval = fields
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        return None
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    need = w * h * channels
+    if len(p) - i < need:
+        return None
+    raster = np.frombuffer(p, dtype=np.uint8, count=need, offset=i) \
+        .astype(np.float32) / maxval
+    if channels == 1:
+        return raster.reshape(h, w)
+    rgb = raster.reshape(h, w, 3)
+    return (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]).astype(np.float32)
+
+
 class DecodeImageStage:
     """Actor-pool stage: payload → fixed-size feature vector.
 
-    Real path (``fake=False``): ``__init__`` imports PIL once per actor;
-    ``__call__`` decodes each image payload, converts to grayscale,
-    resizes to a ``⌈√dim⌉``-square thumbnail and emits the normalized
-    pixels truncated/padded to ``dim`` floats.  Non-image kinds (and
-    undecodable payloads) fall back to the deterministic byte-slice
-    features.  Without PIL, construction raises ``NotImplementedError`` —
-    loudly, not at the 10-millionth batch; ``fake=True`` selects the
-    deterministic stub decoder (feature = first ``dim`` payload bytes /
-    255) for codec-free containers.
-    """
+    Real path (``fake=False``): decode each image payload, convert to
+    grayscale, resize to a ``⌈√dim⌉``-square thumbnail and emit the
+    normalized pixels truncated/padded to ``dim`` floats.  The decoder is
+    probed once per actor in ``__init__``: PIL when importable (any
+    format PIL reads), else the built-in pure-numpy netpbm decoder
+    (:func:`parse_netpbm` — always available).  Non-image kinds and
+    undecodable payloads fall back to the deterministic byte-slice stub
+    features; ``fake=True`` forces the stub for everything (feature =
+    first ``dim`` payload bytes / 255)."""
 
     def __init__(self, dim: int = 32, fake: bool = False):
         self.dim = dim
@@ -78,9 +133,7 @@ class DecodeImageStage:
                 self._pil = PIL.Image
                 self.decoder = "pil"
             except ImportError:
-                raise NotImplementedError(
-                    "no image decoder available in this environment; "
-                    "construct with fake=True for the deterministic stub")
+                self.decoder = "netpbm"
         side = 1
         while side * side < dim:
             side += 1
@@ -89,6 +142,19 @@ class DecodeImageStage:
     def _stub_features(self, p: bytes, out: np.ndarray):
         raw = np.frombuffer(p[: self.dim], dtype=np.uint8)
         out[: len(raw)] = raw / 255.0
+
+    def _netpbm_features(self, p: bytes, out: np.ndarray) -> bool:
+        gray = parse_netpbm(p)
+        if gray is None:
+            return False  # not 8-bit netpbm → stub fallback
+        h, w = gray.shape
+        rr = (np.arange(self._side) * h) // self._side
+        cc = (np.arange(self._side) * w) // self._side
+        pix = gray[np.ix_(rr, cc)].reshape(-1)
+        out[:] = pix[: self.dim] if len(pix) >= self.dim else 0.0
+        if len(pix) < self.dim:
+            out[: len(pix)] = pix
+        return True
 
     def _pil_features(self, p: bytes, out: np.ndarray) -> bool:
         import io
@@ -111,8 +177,11 @@ class DecodeImageStage:
         for i, (p, kind) in enumerate(zip(payloads, kinds)):
             if not p:
                 continue
-            if self.decoder == "pil" and kind == "image":
-                if self._pil_features(p, feats[i]):
+            if kind == "image":
+                if self.decoder == "pil" and self._pil_features(p, feats[i]):
+                    continue
+                if self.decoder == "netpbm" \
+                        and self._netpbm_features(p, feats[i]):
                     continue
             self._stub_features(p, feats[i])
         out = batch.drop_columns(["payload"])
@@ -121,10 +190,11 @@ class DecodeImageStage:
                 pa.array(feats.reshape(-1)), self.dim))
 
 
-def decode_media(ds: "rd.Dataset", *, dim: int = 32, fake: bool = True,
+def decode_media(ds: "rd.Dataset", *, dim: int = 32, fake: bool = False,
                  batch_size: int = 32, concurrency=(1, 4)) -> "rd.Dataset":
     """Feature-extract binary media: small batches, actor pool, payload
-    dropped from the output."""
+    dropped from the output.  Real decode by default (PIL or the built-in
+    netpbm decoder); ``fake=True`` forces the byte-slice stub."""
     return ds.map_batches(
         DecodeImageStage, fn_constructor_kwargs={"dim": dim, "fake": fake},
         batch_format="pyarrow", batch_size=batch_size,

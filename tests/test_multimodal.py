@@ -21,9 +21,69 @@ def test_synth_media_schema():
     assert t.equals(synth_media_table(32))
 
 
-def test_decode_stage_requires_decoder_or_fake():
-    with pytest.raises(NotImplementedError):
-        DecodeImageStage(fake=False)  # no PIL in this container
+def test_decode_stage_picks_builtin_decoder_without_pil():
+    stage = DecodeImageStage(fake=False)
+    assert stage.decoder in ("pil", "netpbm")  # never undecodable
+
+
+def test_netpbm_parse_and_features(ray_session):
+    """Built-in decoder: P6 header (with comment) parses, Rec.601
+    grayscale and nearest resize match a hand computation; malformed
+    payloads fall back to the stub."""
+    import numpy as np
+    import pyarrow as pa
+    from crn_meta_validate_ray.stages.multimodal import parse_netpbm
+
+    # 2×2 RGB: red, green / blue, white
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    p6 = b"P6\n# a comment\n2 2\n255\n" + raster
+    gray = parse_netpbm(p6)
+    assert gray.shape == (2, 2)
+    assert np.allclose(gray, [[0.299, 0.587], [0.114, 1.0]], atol=1e-6)
+    # P5 grayscale
+    p5 = b"P5 3 1 255 " + bytes([0, 128, 255])
+    g5 = parse_netpbm(p5)
+    assert g5.shape == (1, 3) and abs(g5[0, 1] - 128 / 255) < 1e-6
+    # malformed: truncated raster, bad magic, maxval > 255
+    assert parse_netpbm(b"P6\n2 2\n255\n" + raster[:6]) is None
+    assert parse_netpbm(b"P4\n2 2\n255\n" + raster) is None
+    assert parse_netpbm(b"P6\n2 2\n65535\n" + raster) is None
+
+    t = pa.table({
+        "media_id": pa.array([0, 1], type=pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([p6, b"not an image"], type=pa.binary()),
+    })
+    out = {r["media_id"]: np.asarray(r["feature"])
+           for r in decode_media(rd.from_arrow(t), dim=4,
+                                 batch_size=4).take_all()}
+    # dim=4 → 2×2 thumbnail of the 2×2 image = the image itself
+    assert np.allclose(out[0], [0.299, 0.587, 0.114, 1.0], atol=1e-6)
+    # undecodable payload → stub features (payload bytes / 255)
+    want = np.frombuffer(b"not ", dtype=np.uint8) / 255.0
+    assert np.allclose(out[1], want)
+
+
+def test_decode_media_real_path_on_synth_ppm(ray_session):
+    """synth_media_table image payloads are valid PPMs: the real decoder
+    produces features that differ from the stub byte-slice (which would
+    read header bytes), and deterministically so."""
+    import numpy as np
+    from crn_meta_validate_ray.stages.multimodal import parse_netpbm
+
+    t = synth_media_table(48)
+    df = t.to_pandas()
+    img = df[df["kind"] == "image"].iloc[0]
+    assert parse_netpbm(img["payload"]) is not None
+    real = {r["media_id"]: np.asarray(r["feature"]) for r in decode_media(
+        rd.from_arrow(t), dim=16, batch_size=8).take_all()}
+    stub = {r["media_id"]: np.asarray(r["feature"]) for r in decode_media(
+        rd.from_arrow(t), dim=16, fake=True, batch_size=8).take_all()}
+    mid = int(img["media_id"])
+    assert not np.allclose(real[mid], stub[mid])
+    real2 = {r["media_id"]: np.asarray(r["feature"]) for r in decode_media(
+        rd.from_arrow(t), dim=16, batch_size=8).take_all()}
+    assert np.allclose(real[mid], real2[mid])
 
 
 def test_decode_media_fake_path(ray_session):
