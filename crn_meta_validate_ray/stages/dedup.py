@@ -444,11 +444,10 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, threshold: float = 0.7,
 
 class _GramPostingStage:
     """Per-batch inverted-index emitter for the EXACT n-gram Jaccard path:
-    one posting row (band_id=0, band_hash=gram_hash, doc_id) per distinct
-    word-n-gram per doc, plus one doc row (band_id=-1) carrying the full
-    hashed gram set — same schema as ``_SignatureStage`` so the candidate
-    and verify stages are shared (``sig`` is a 1-element dummy; the exact
-    verify never reads it for docs with grams)."""
+    one posting row (gram, doc_id) per distinct word-n-gram per doc, plus
+    one size row per doc (gram = -1, n_grams = |gram set|).  No gram
+    *sets* ever travel — exact Jaccard needs only pair multiplicities and
+    the two set sizes (see :func:`ngram_jaccard_exact_pairs`)."""
 
     def __init__(self, text_col: str, id_col: str, ngram: int):
         self.text_col = text_col
@@ -461,26 +460,67 @@ class _GramPostingStage:
         n = len(texts)
         g, cnt = batch_word_gram_hashes(texts, self.ngram)
         tot = len(g)
-        band_id = np.concatenate([np.zeros(tot, dtype=np.int32),
-                                  np.full(n, -1, dtype=np.int32)])
-        band_hash = np.concatenate([g.astype(np.int64),
-                                    np.zeros(n, dtype=np.int64)])
+        # gram hashes are folded into int63 so -1 stays a safe marker
+        gram = np.concatenate([(g >> np.uint64(1)).astype(np.int64),
+                               np.full(n, -1, dtype=np.int64)])
         doc_id = np.concatenate([np.repeat(ids, cnt), ids])
-        empty_post = pa.ListArray.from_arrays(
-            np.zeros(tot + 1, dtype=np.int32), pa.array([], type=pa.int64()))
-        doc_grams = pa.ListArray.from_arrays(
-            np.concatenate(([0], np.cumsum(cnt))).astype(np.int32),
-            pa.array(g.astype(np.int64)))
-        dummy_sig = pa.ListArray.from_arrays(
-            np.arange(n + 1, dtype=np.int32), pa.array(
-                np.zeros(n, dtype=np.int64)))
+        n_grams = np.concatenate([np.zeros(tot, dtype=np.int64), cnt])
         return pa.table({
-            "band_id": pa.array(band_id),
-            "band_hash": pa.array(band_hash),
+            "gram": pa.array(gram),
             "doc_id": pa.array(doc_id),
-            "sig": pa.concat_arrays([empty_post, dummy_sig]),
-            "grams": pa.concat_arrays([empty_post, doc_grams]),
+            "n_grams": pa.array(n_grams),
         })
+
+
+def _pair_count_stage(max_posting: int):
+    """Bucket fn over postings grouped by gram: emit per-bucket PARTIAL
+    intersection counts per candidate pair — each gram shared by a pair
+    contributes 1, so the global sum of these partials is exactly
+    ``|grams(a) ∩ grams(b)|``.  Posting lists longer than ``max_posting``
+    emit one marker row (id_a = -1, id_b = gram, inter = list length)
+    instead of a quadratic pair set."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "inter": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        out_a, out_b = [], []
+        m_a, m_b, m_n = [], [], []
+        over = df[sizes > max_posting]
+        if len(over):
+            for gval, grp in over.groupby("gram", sort=False):
+                m_a.append(-1)
+                m_b.append(int(gval))
+                m_n.append(len(grp))
+        for _, grp in df[(sizes >= 2) & (sizes <= max_posting)] \
+                .groupby("gram", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy())
+            ia, ib = np.triu_indices(len(ids), 1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a and not m_a:
+            return empty
+        if out_a:
+            pairs = pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b)})
+            partial = pairs.groupby(["id_a", "id_b"], sort=False) \
+                .size().reset_index(name="inter")
+            partial["inter"] = partial["inter"].astype(np.int64)
+        else:
+            partial = empty
+        if m_a:
+            partial = pd.concat([partial, pd.DataFrame({
+                "id_a": pd.Series(m_a, dtype=np.int64),
+                "id_b": pd.Series(m_b, dtype=np.int64),
+                "inter": pd.Series(m_n, dtype=np.int64)})],
+                ignore_index=True)
+        return partial
+
+    return fn
 
 
 def ngram_jaccard_exact_pairs(
@@ -491,42 +531,104 @@ def ngram_jaccard_exact_pairs(
     threshold: float = 0.5,
     ngram: int = 3,
     max_posting: int = 4096,
+    num_buckets: int | None = None,
     with_stats: bool = False,
 ):
     """EXACT word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
-    threshold) — no LSH recall loss: candidates are every pair sharing at
-    least one n-gram (inverted-index join on the gram hash), which covers
-    every pair with Jaccard > 0, so the output is exact up to 64-bit gram
-    collisions and postings hotter than ``max_posting`` (capped buckets
-    are dropped-and-counted; with ``threshold`` ≥ ~0.3 a qualifying pair
-    shares many grams, so one hot gram cannot hide it).
+    threshold) — no LSH recall loss, and no per-pair set intersection:
 
-    SQL-oracle parity: DuckDB can replicate this exactly (distinct n-gram
+    1. inverted index: posting rows (gram, doc_id) — candidates are every
+       pair sharing ≥1 gram, which covers every pair with Jaccard > 0;
+    2. the number of times a pair co-occurs across gram buckets IS
+       ``|A ∩ B|``, so one pair-keyed count exchange yields exact
+       intersections from narrow (id_a, id_b, partial) rows;
+    3. two keyed attach exchanges add |A| and |B| (one int per doc) and
+       ``jaccard = inter / (|A| + |B| − inter)`` filters the pairs.
+
+    Exact up to 64-bit gram collisions and postings hotter than
+    ``max_posting`` (capped lists are dropped-and-counted; with
+    ``threshold`` ≥ ~0.3 a qualifying pair shares many grams, so one hot
+    gram cannot hide it).  Everything that shuffles is 2-3 int64 columns.
+
+    SQL-oracle parity: DuckDB replicates this exactly (distinct n-gram
     lists + list_intersect/list_distinct arithmetic) — see
     ``__ray_entry__.oracle_sql['jaccard_pairs_documents']``."""
     narrow = ds.select_columns([id_col, text_col])
     rows = narrow.map_batches(_GramPostingStage(text_col, id_col, ngram),
                               batch_format="pyarrow",
                               batch_size=2048).materialize()
-    postings = rows.filter(expr="band_id >= 0") \
-        .select_columns(["band_id", "band_hash", "doc_id"])
-    sigrows = rows.filter(expr="band_id < 0") \
-        .select_columns(["doc_id", "sig", "grams"])
-    cand = grouped_map(postings, ["band_id", "band_hash"],
-                       _candidate_stage(max_posting))
-    pairs = cand.filter(expr="id_a >= 0")
-    if pairs.count() <= SMALL_PAIR_GUARD:
-        verified = _verify_pairs_driver(pairs, sigrows, threshold,
-                                        exact_jaccard=True)
-    else:
-        verified = _attach_verify(pairs, sigrows, threshold,
-                                  exact_jaccard=True)
+    postings = rows.filter(expr="gram >= 0") \
+        .select_columns(["gram", "doc_id"])
+    sizes = rows.filter(expr="gram < 0") \
+        .select_columns(["doc_id", "n_grams"])
+    partials = grouped_map(postings, ["gram"], _pair_count_stage(max_posting),
+                           num_buckets=num_buckets)
+
+    def sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], sort=False)["inter"].sum() \
+            .reset_index()
+        g["inter"] = g["inter"].astype(np.int64)
+        return g
+
+    inter = grouped_map(partials.filter(expr="id_a >= 0"), ["id_a", "id_b"],
+                        sum_counts, num_buckets=num_buckets)
+
+    # attach |A| then |B| with two keyed exchanges; rows stay 3-4 ints wide
+    def tag_pairs(t: pa.Table, key: str, carry: list[str]) -> pa.Table:
+        cols = {"key": t[key], "is_size": pa.array(
+            np.zeros(t.num_rows, dtype=bool)),
+            "id_a": t["id_a"], "id_b": t["id_b"], "inter": t["inter"]}
+        for c in carry:
+            cols[c] = t[c]
+        cols["sz"] = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table(cols)
+
+    def tag_sizes(t: pa.Table, carry: list[str]) -> pa.Table:
+        neg = pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        cols = {"key": t["doc_id"], "is_size": pa.array(
+            np.ones(t.num_rows, dtype=bool)),
+            "id_a": neg, "id_b": neg, "inter": neg}
+        for c in carry:
+            cols[c] = neg
+        cols["sz"] = t["n_grams"]
+        return pa.table(cols)
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df[df["is_size"]][["key", "sz"]].rename(columns={"sz": "na"})
+        pr = df[~df["is_size"]][["key", "id_a", "id_b", "inter"]]
+        return pr.merge(sz, on="key")[["id_a", "id_b", "inter", "na"]]
+
+    def attach_b(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df[df["is_size"]][["key", "sz"]].rename(columns={"sz": "nb"})
+        pr = df[~df["is_size"]][["key", "id_a", "id_b", "inter", "na"]]
+        m = pr.merge(sz, on="key")
+        if not len(m):
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "jaccard": pd.Series(dtype=np.float64)})
+        union = m["na"] + m["nb"] - m["inter"]
+        m["jaccard"] = m["inter"].to_numpy(dtype=np.float64) \
+            / union.to_numpy(dtype=np.float64)
+        m = m[m["jaccard"] >= threshold]
+        return m[["id_a", "id_b", "jaccard"]].reset_index(drop=True)
+
+    u1 = inter.map_batches(lambda t: tag_pairs(t, "id_a", []),
+                           batch_format="pyarrow") \
+        .union(sizes.map_batches(lambda t: tag_sizes(t, []),
+                                 batch_format="pyarrow"))
+    with_a = grouped_map(u1, ["key"], attach_a, num_buckets=num_buckets)
+
+    u2 = with_a.map_batches(
+        lambda t: tag_pairs(t, "id_b", ["na"]), batch_format="pyarrow") \
+        .union(sizes.map_batches(lambda t: tag_sizes(t, ["na"]),
+                                 batch_format="pyarrow"))
+    verified = grouped_map(u2, ["key"], attach_b, num_buckets=num_buckets)
     if not with_stats:
         return verified
-    markers = cand.filter(expr="id_a < 0").select_columns(["n_dropped"]) \
-        .take_all()
+    markers = partials.filter(expr="id_a < 0") \
+        .select_columns(["inter"]).take_all()
     stats = {"n_buckets_skipped": len(markers),
-             "n_docs_dropped": int(sum(r["n_dropped"] for r in markers))}
+             "n_docs_dropped": int(sum(r["inter"] for r in markers))}
     return verified, stats
 
 
