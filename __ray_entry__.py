@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / aggregation (SURVEY §2.5/2.6)
         "pricing_summary": q.pricing_summary,
         "top_orders": q.top_orders,
+        "top_orders_per_customer": q.top_orders_per_customer,
+        "revenue_by_nation": q.revenue_by_nation,
         "rowcounts": q.rowcounts,
         # text analysis / dedup (training-data ops)
         "exact_dedup_documents": q.exact_dedup_documents,
@@ -194,6 +196,26 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice, rk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey) - 1 AS rk
+                FROM orders)
+            WHERE rk < 2
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "rowcounts": """
             SELECT 'region' AS table_name, count(*) AS n_rows FROM region

@@ -115,6 +115,8 @@ def run_bench() -> dict:
 
     timed("lineitem_full_suite", lineitem_full)
     timed("pricing_summary", lambda: consume(q.pricing_summary(SF_DIR)))
+    timed("grouped_topk", lambda: consume(q.top_orders_per_customer(SF_DIR)))
+    timed("broadcast_join", lambda: consume(q.revenue_by_nation(SF_DIR)))
     timed("dedup_minhash", lambda: consume(q.minhash_pairs_documents(SF_DIR)))
     timed("dedup_simhash", lambda: consume(q.simhash_pairs_documents(SF_DIR)))
 

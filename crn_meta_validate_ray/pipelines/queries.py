@@ -270,6 +270,54 @@ def top_orders(sf_dir: str):
     return out.map_batches(roundcols, batch_format="pyarrow")
 
 
+def top_orders_per_customer(sf_dir: str):
+    """Grouped top-k WITHOUT a global sort (per-batch k-prune combiner +
+    one narrow exchange): top-2 orders by totalprice per customer."""
+    from crn_meta_validate_ray.stages.topk import grouped_topk
+    ds = rd.read_parquet(_p(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(ds, keys=["o_custkey"], order_col="o_totalprice",
+                       k=2, descending=True, tiebreak_col="o_orderkey")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_totalprice": pc.round(t["o_totalprice"], 2),
+            "rk": pc.cast(t["rk"], pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def revenue_by_nation(sf_dir: str):
+    """Snowflake enrichment with ZERO shuffles on the fact side: orders →
+    customer (broadcast) → nation (broadcast), then a partial-aggregated
+    groupby on the tiny (nation) key space."""
+    from crn_meta_validate_ray.stages.broadcast import broadcast_lookup_join
+    orders = rd.read_parquet(_p(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    customer = rd.read_parquet(_p(sf_dir, "customer"),
+                               columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(_p(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    enriched = broadcast_lookup_join(orders, customer, left_key="o_custkey",
+                                     right_key="c_custkey",
+                                     carry_cols=["c_nationkey"])
+    enriched = broadcast_lookup_join(enriched, nation, left_key="c_nationkey",
+                                     right_key="n_nationkey",
+                                     carry_cols=["n_name"])
+    agg = enriched.groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"))
+
+    def roundcols(t: pa.Table) -> pa.Table:
+        return pa.table({"n_name": t["n_name"],
+                         "revenue": pc.round(t["revenue"], 2),
+                         "n_orders": pc.cast(t["n_orders"], pa.int64())})
+
+    return agg.map_batches(roundcols, batch_format="pyarrow")
+
+
 def rowcounts(sf_dir: str):
     """Row-count probe per table (S4/A6)."""
     tables = ["region", "nation", "customer", "supplier", "part", "orders",

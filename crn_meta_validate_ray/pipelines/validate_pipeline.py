@@ -278,9 +278,96 @@ def merge_sketches_driver(sketch_ds: "rd.Dataset") -> dict:
     return merged
 
 
+def _prefold_block(t: pa.Table) -> pa.Table:
+    """DISTRIBUTED pre-fold of one findings block (runs inside
+    ``map_batches``): colstat partials combine per column, violation rows
+    reduce to per-constraint count rows (``kind='vcount'``), sketch
+    partials merge per metric.  The driver fold then touches a few summary
+    rows per block instead of every finding row — at 12M turns this moves
+    ~2 s of serial driver time onto the cluster (a direct scaling-
+    efficiency term: serial seconds cost 4× more at the 4N level)."""
+    import base64
+
+    import pyarrow.compute as _pc
+
+    from crn_meta_validate_ray.state.sketches import (CountMin, HyperLogLog,
+                                                      TDigest)
+
+    kinds = t["kind"]
+    parts = []
+    cs = t.filter(_pc.equal(kinds, "colstat"))
+    if cs.num_rows:
+        parts.append(_combine_colstat_block(cs))
+    v = t.filter(_pc.equal(kinds, "violation"))
+    if v.num_rows:
+        vc = _pc.value_counts(v["constraint_id"].combine_chunks())
+        rows = [{"kind": "vcount", "constraint_id": r["values"],
+                 "n_invalid": int(r["counts"]), "n_rows": 0, "n_null": 0,
+                 "exact": True}
+                for r in vc.to_pylist()]
+        parts.append(pa.Table.from_pylist(rows, schema=FINDINGS_SCHEMA))
+    sk = t.filter(_pc.equal(kinds, "sketch"))
+    if sk.num_rows:
+        merged: dict = {}
+        for row in sk.select(["column", "value"]).to_pylist():
+            metric, payload = row["column"], base64.b64decode(row["value"])
+            if metric.startswith("hll:"):
+                obj = HyperLogLog.from_bytes(payload)
+            elif metric.startswith("cm:"):
+                obj = CountMin.from_bytes(payload)
+            else:
+                obj = TDigest.from_bytes(payload)
+            if metric in merged:
+                merged[metric].merge(obj)
+            else:
+                merged[metric] = obj
+        rows = [{"kind": "sketch", "column": metric,
+                 "value": base64.b64encode(obj.to_bytes()).decode("ascii"),
+                 "n_rows": 0, "n_null": 0, "n_invalid": 0, "exact": True}
+                for metric, obj in merged.items()]
+        parts.append(pa.Table.from_pylist(rows, schema=FINDINGS_SCHEMA))
+    if not parts:
+        return FINDINGS_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def _prefold_blocks_task(*tbls: pa.Table) -> pa.Table:
+    """Ray task: pre-fold a CHUNK of findings blocks at once — block refs
+    are coalesced so the exchange is O(2×CPUs) tasks, not one per block
+    (per-task overhead would eat the win at ~1000 small blocks)."""
+    good = [t for t in tbls if t.num_rows]
+    if not good:
+        return FINDINGS_SCHEMA.empty_table()
+    return _prefold_block(pa.concat_tables(good))
+
+
+def prefold_distributed(mat: "rd.Dataset") -> list:
+    """Pre-fold a materialized findings dataset on the cluster: returns a
+    short list of summary tables (a few rows per chunk) for the serial
+    driver fold.  See ``_prefold_block`` for why: serial driver seconds
+    are the scaling-efficiency tax."""
+    import ray
+
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return []
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n_tasks = max(1, min(len(refs), 2 * cpus))
+    chunk = -(-len(refs) // n_tasks)
+    task = ray.remote(_prefold_blocks_task)
+    out = [task.remote(*refs[i:i + chunk])
+           for i in range(0, len(refs), chunk)]
+    return ray.get(out)
+
+
 def fold_findings(batches, rules: TableRules, sample_k: int = 1000):
     """One driver pass over findings batches → (colstats, violation counts,
-    merged sketches).  Replaces three separate filter+merge mini-pipelines."""
+    merged sketches).  Accepts raw findings batches OR the reduced stream
+    from :func:`_prefold_block` (``vcount`` rows carry pre-counted
+    violations).  Replaces three separate filter+merge mini-pipelines."""
     import base64
 
     import pyarrow.compute as _pc
@@ -312,6 +399,11 @@ def fold_findings(batches, rules: TableRules, sample_k: int = 1000):
             for row in vc.to_pylist():
                 counts[row["values"]] = counts.get(row["values"], 0) \
                     + int(row["counts"])
+        vc_rows = t.filter(_pc.equal(kinds, "vcount"))
+        if vc_rows.num_rows:
+            for cid, n in zip(vc_rows["constraint_id"].to_pylist(),
+                              vc_rows["n_invalid"].to_pylist()):
+                counts[cid] = counts.get(cid, 0) + int(n)
         sk_rows = t.filter(_pc.equal(kinds, "sketch"))
         for row in sk_rows.select(["column", "value"]).to_pylist():
             metric, payload = row["column"], base64.b64decode(row["value"])
@@ -539,9 +631,11 @@ def validate_dataset(
         for extra in ready:
             all_f = all_f.union(extra)
         mat = all_f.materialize() if ready else mat
+        # distributed pre-fold: chunk-level combine on the cluster so the
+        # serial driver fold sees a few summary rows per chunk, not every
+        # violation/partial row
         colstats, counts, sketches = fold_findings(
-            mat.iter_batches(batch_size=1 << 16, batch_format="pyarrow"),
-            rules, sample_k)
+            iter(prefold_distributed(mat)), rules, sample_k)
         violations = mat.filter(expr="kind == 'violation'")
 
     n_rows = max((cs.n_rows for cs in colstats.values()), default=0)
