@@ -101,8 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_embeddings": q.lsh_ann_embeddings,
         "ivf_ann_embeddings": q.ivf_ann_embeddings,
         "near_dup_embeddings": q.near_dup_embeddings,
-        # multimodal plumbing (stubbed decoder; rows-only)
+        # multimodal (real netpbm/PIL decode; binary payloads; rows-only)
         "media_decode_features": q.media_decode_features,
+        "media_frame_plan": q.media_frame_plan,
         # custom joins beyond as-of
         "range_join_events": q.range_join_events,
         # windowed / stream-shaped

@@ -156,7 +156,10 @@ def run_bench() -> dict:
     return result
 
 
-SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "850000"))
+# 1.7M convs (~24.4M turns): large enough that fixed driver/planning
+# seconds (irrelevant at the 10^12-turn target scale) do not masquerade as
+# scaling loss in a ~13 s high-level run
+SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "1700000"))
 
 
 def _scaling_corpus():

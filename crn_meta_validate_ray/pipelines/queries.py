@@ -566,6 +566,18 @@ def range_join_events(sf_dir: str):
         ("event_id", pa.int64()), ("n_clicks", pa.int64())]))
 
 
+def media_frame_plan(sf_dir: str):
+    """Video frame-sampling fan-out plan (one row per frame to extract) —
+    the flat-map plumbing for frame-level multimodal stages (rows-only)."""
+    from crn_meta_validate_ray.stages.multimodal import (frame_sample_plan,
+                                                         synth_media_table)
+    ds = rd.from_arrow(synth_media_table(256))
+    out = frame_sample_plan(ds, every_ms=500)
+    return collect_with_schema(out, pa.schema([
+        ("media_id", pa.int64()), ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int32())]))
+
+
 # --------------------------------------------------------------- windows
 
 def hopping_events(sf_dir: str):

@@ -341,14 +341,16 @@ def _prefold_blocks_task(*tbls: pa.Table) -> pa.Table:
     return _prefold_block(pa.concat_tables(good))
 
 
-def prefold_distributed(mat: "rd.Dataset") -> list:
-    """Pre-fold a materialized findings dataset on the cluster: returns a
-    short list of summary tables (a few rows per chunk) for the serial
-    driver fold.  See ``_prefold_block`` for why: serial driver seconds
-    are the scaling-efficiency tax."""
+def prefold_distributed(*datasets: "rd.Dataset") -> list:
+    """Pre-fold one or more materialized findings datasets on the cluster:
+    returns a short list of summary tables (a few rows per chunk) for the
+    serial driver fold.  Taking the datasets separately (main pass +
+    extras) avoids a union+materialize barrier that would re-register
+    every block just to iterate them once.  See ``_prefold_block`` for
+    why: serial driver seconds are the scaling-efficiency tax."""
     import ray
 
-    refs = mat.to_arrow_refs()
+    refs = [r for ds in datasets for r in ds.to_arrow_refs()]
     if not refs:
         return []
     try:
@@ -627,16 +629,16 @@ def validate_dataset(
                         ready.append(out)
         else:
             mat = findings.materialize()
+        # distributed pre-fold: chunk-level combine on the cluster so the
+        # serial driver fold sees a few summary rows per chunk, not every
+        # violation/partial row; the extras' blocks are folded directly —
+        # no union+materialize barrier re-registering every block
+        colstats, counts, sketches = fold_findings(
+            iter(prefold_distributed(mat, *ready)), rules, sample_k)
         all_f = mat
         for extra in ready:
             all_f = all_f.union(extra)
-        mat = all_f.materialize() if ready else mat
-        # distributed pre-fold: chunk-level combine on the cluster so the
-        # serial driver fold sees a few summary rows per chunk, not every
-        # violation/partial row
-        colstats, counts, sketches = fold_findings(
-            iter(prefold_distributed(mat)), rules, sample_k)
-        violations = mat.filter(expr="kind == 'violation'")
+        violations = all_f.filter(expr="kind == 'violation'")
 
     n_rows = max((cs.n_rows for cs in colstats.values()), default=0)
     result = build_eval_result(rules, schema_names, colstats, n_rows)
