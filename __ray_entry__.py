@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q.fingerprint_documents,
         "quality_documents": q.quality_documents,
         "langid_documents": q.langid_documents,
+        "props_stats_events": q.props_stats_events,
+        "sample_documents": q.sample_documents,
         "multienum_violations_documents": q.multienum_violations_documents,
         "timestamp_violations_events": q.timestamp_violations_events,
         "dedup_keep_first_documents": q.dedup_keep_first_documents,
@@ -302,6 +304,18 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'es'
                    END AS lang_pred
             FROM c
+        """,
+        "props_stats_events": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS sum_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "sample_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 8))
+                       AS BIGINT) % 100 < 20
         """,
         "multienum_violations_documents": r"""
             WITH d AS (

@@ -124,6 +124,36 @@ def fingerprint64(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(h.astype(np.int64)))
 
 
+def json_scalar_int(col: pa.Array | pa.ChunkedArray, field: str) -> pa.Array:
+    """Extract an integer field from a FLAT JSON-object string column with
+    one vectorized Arrow regex (null where the field is absent).  This is
+    the fast path for telemetry-style props columns; nested objects or
+    escaped strings need a real parser inside an actor stage instead."""
+    import re as _re
+    pat = '"' + _re.escape(field) + r'"\s*:\s*(?P<v>-?[0-9]+)'
+    ext = pc.extract_regex(pc.fill_null(pc.cast(col, pa.string()), ""), pat)
+    if isinstance(ext, pa.ChunkedArray):
+        ext = ext.combine_chunks()
+    return pc.cast(pc.struct_field(ext, "v"), pa.int64())
+
+
+def deterministic_sample_mask(col: pa.Array | pa.ChunkedArray, *,
+                              rate_pct: int, salt: str = "") -> np.ndarray:
+    """Stable content-hash Bernoulli sample: keep rows where the first 32
+    bits of md5(salt + value) mod 100 < rate_pct.  Deterministic across
+    runs/cluster sizes and SQL-replicable (DuckDB:
+    ``CAST(concat('0x', substr(md5(v), 1, 8)) AS BIGINT) % 100``).
+    Per-cell hashlib — pair with ``fingerprint64`` + modulo for the
+    numpy-vectorized scale path when SQL parity is not needed."""
+    vals = col.to_pylist()
+    keep = np.zeros(len(vals), dtype=bool)
+    for i, v in enumerate(vals):
+        h = hashlib.md5((salt + ("" if v is None else str(v)))
+                        .encode("utf-8")).hexdigest()
+        keep[i] = int(h[:8], 16) % 100 < rate_pct
+    return keep
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """Hashed k-char shingle set of one document (sorted uint64)."""
     if len(text) < k:

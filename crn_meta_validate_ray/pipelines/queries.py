@@ -406,6 +406,47 @@ def simhash_pairs_documents(sf_dir: str):
     return simhash_pairs(ds, max_distance=3)
 
 
+def props_stats_events(sf_dir: str):
+    """Vectorized JSON-field extraction (functions/text.json_scalar_int)
+    over the events.props telemetry column, aggregated per event type."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        from crn_meta_validate_ray.functions.text import json_scalar_int
+        k = json_scalar_int(t["props"], "k")
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = ds.map_batches(extract, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("event_type").aggregate(
+            Sum("k", alias_name="sum_k"), Count(alias_name="n_events"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "sum_k": pc.cast(t["sum_k"], pa.int64()),
+                         "n_events": pc.cast(t["n_events"], pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def sample_documents(sf_dir: str):
+    """Deterministic content-hash Bernoulli sample (20%) — stable across
+    runs and cluster sizes, SQL-replicable via md5 hex arithmetic."""
+    from crn_meta_validate_ray.functions.text import deterministic_sample_mask
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        keep = deterministic_sample_mask(t["text"], rate_pct=20)
+        out = t.filter(pa.array(keep))
+        return pa.table({"doc_id": out["doc_id"], "lang": out["lang"]})
+
+    out = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+    return collect_with_schema(out, pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string())]))
+
+
 MULTIENUM_VOCAB = ["en", "de", "fr", "es", "zh"] + [f"src{i}" for i in range(10)]
 
 

@@ -82,15 +82,29 @@ def broadcast_lookup_join(
     left_key: str,
     right_key: str,
     carry_cols: list[str],
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> "rd.Dataset":
     """Left join ``ds`` to the small ``dim`` on ``left_key = right_key``,
     appending ``carry_cols`` (null where unmatched).  The dim is shipped
-    once via the object store; the fact side streams map-only."""
+    once via the object store; the fact side streams map-only.
+
+    Runs as stateless tasks by default — ``ray.get`` of the dim inside a
+    task is a zero-copy shared-memory read after the first touch per node,
+    so an actor pool would only add spin-up latency.  Pass a
+    ``concurrency`` tuple to use an actor pool anyway (e.g. when composing
+    with stages that need one)."""
     mat = dim.select_columns([right_key] + carry_cols).materialize()
     refs = mat.to_arrow_refs()
     build = ray.remote(_build_dim)
     dim_ref = build.remote(right_key, carry_cols, *refs)
-    return ds.map_batches(
-        _LookupStage, fn_constructor_args=(dim_ref, left_key, carry_cols),
-        batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+    if concurrency is not None:
+        return ds.map_batches(
+            _LookupStage, fn_constructor_args=(dim_ref, left_key, carry_cols),
+            batch_format="pyarrow", concurrency=concurrency,
+            zero_copy_batch=True)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        return _LookupStage(dim_ref, left_key, carry_cols)(batch)
+
+    return ds.map_batches(lookup, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -91,3 +91,36 @@ def test_batch_word_gram_hashes_cardinality_parity():
             inter_old = np.intersect1d(sets_old[i], sets_old[j],
                                        assume_unique=True).size
             assert inter_new == inter_old, (i, j)
+
+
+def test_json_scalar_int_extraction():
+    import pyarrow as pa
+
+    from crn_meta_validate_ray.functions.text import json_scalar_int
+
+    col = pa.array(['{"k": 69}', '{"a": 1, "k": -3}', '{"a": 2}', None,
+                    '{"k": 0}'])
+    got = json_scalar_int(col, "k").to_pylist()
+    assert got == [69, -3, None, None, 0]
+
+
+def test_deterministic_sample_mask_stable_and_sql_compatible():
+    import hashlib
+
+    import pyarrow as pa
+
+    from crn_meta_validate_ray.functions.text import deterministic_sample_mask
+
+    vals = [f"doc {i} text" for i in range(200)] + [None]
+    col = pa.array(vals)
+    m1 = deterministic_sample_mask(col, rate_pct=20)
+    m2 = deterministic_sample_mask(col, rate_pct=20)
+    assert (m1 == m2).all()
+    # matches the documented SQL arithmetic exactly
+    for v, keep in zip(vals, m1):
+        h = hashlib.md5(("" if v is None else v).encode()).hexdigest()
+        assert keep == (int(h[:8], 16) % 100 < 20)
+    # rate in the right ballpark and monotone in rate_pct
+    assert 0.05 < m1.mean() < 0.45
+    m_all = deterministic_sample_mask(col, rate_pct=100)
+    assert m_all.all()
