@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_events": q.tumbling_events,
         "hopping_events": q.hopping_events,
         "sessions_events": q.sessions_events,
+        "running_totals_events": q.running_totals_events,
+        # exact distributed quantiles (value-counts reduction)
+        "quantiles_lineitem": q.quantiles_lineitem,
         # flagship transcript engine (non-SQL: full constraint suite)
         "transcript_violations": q.transcript_violations,
         "transcript_verdict": q.transcript_verdict,
@@ -440,6 +443,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id
+        """,
+        "running_totals_events": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS run_n,
+                   round(sum(value) OVER w, 4) AS run_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "quantiles_lineitem": """
+            -- q values are binary-exact (k/2^m) so q*n is integer-exact
+            SELECT 0.25 AS q, quantile_disc(l_quantity, 0.25) AS value
+            FROM lineitem
+            UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5)
+            FROM lineitem
+            UNION ALL SELECT 0.75, quantile_disc(l_quantity, 0.75)
+            FROM lineitem
+            UNION ALL SELECT 0.875, quantile_disc(l_quantity, 0.875)
+            FROM lineitem
         """,
         "knn_embeddings": """
             WITH q AS (

@@ -639,6 +639,33 @@ def hopping_events(sf_dir: str):
     return out.map_batches(roundcols, batch_format="pyarrow")
 
 
+def running_totals_events(sf_dir: str):
+    """Per-user running count/sum in event-time order (the window-function
+    analogue, no global sort; bit-identical accumulation order to SQL)."""
+    from crn_meta_validate_ray.stages.window import running_aggregate
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = running_aggregate(ds, key_col="user_id", ts_col="ts",
+                            value_col="value", id_col="event_id")
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "run_n": pc.cast(t["run_n"], pa.int64()),
+            "run_sum": pc.round(t["run_sum"], 4)})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def quantiles_lineitem(sf_dir: str):
+    """Exact discrete quantiles of l_quantity (bounded distinct values →
+    value-counts reduction + driver fold; quantile_disc semantics)."""
+    from crn_meta_validate_ray.stages.quantile import exact_quantiles
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_quantity"])
+    return exact_quantiles(ds, "l_quantity", [0.25, 0.5, 0.75, 0.875])
+
+
 def tumbling_events(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"),
                          columns=["ts", "event_type", "value"])

@@ -120,6 +120,42 @@ def _ts_epoch_s(t: pa.Table, ts_col: str) -> pa.Array:
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
+def running_aggregate(ds: "rd.Dataset", *, key_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      id_col: str = "event_id",
+                      num_buckets: int | None = None) -> "rd.Dataset":
+    """Per-key running (cumulative) aggregates in event-time order — the
+    ROWS-UNBOUNDED-PRECEDING window function, without a global sort: keys
+    co-locate through one hash-bucket exchange, then ONE vectorized sort +
+    grouped cumsum handles every key in the bucket.
+
+    Emits one row per input row (id, key, run_n, run_sum); ``run_sum``
+    accumulates in (ts, id) order, so it is bit-identical to a sequential
+    left-to-right fold (and to SQL's window-function semantics)."""
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    narrow = ds.select_columns([key_col, ts_col, value_col, id_col])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                key_col: pd.Series(dtype=np.int64),
+                "run_n": pd.Series(dtype=np.int64),
+                "run_sum": pd.Series(dtype=np.float64)})
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        g = df.groupby(key_col, sort=False)
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            key_col: df[key_col].to_numpy(),
+            "run_n": (g.cumcount() + 1).to_numpy(dtype=np.int64),
+            "run_sum": g[value_col].cumsum().to_numpy(dtype=np.float64)})
+        return out
+
+    return grouped_map(narrow, [key_col], per_bucket,
+                       num_buckets=num_buckets)
+
+
 def sessionize(ds: "rd.Dataset", *, user_col: str = "user_id",
                ts_col: str = "ts", gap_s: int = 1800,
                value_col: str | None = "value") -> "rd.Dataset":

@@ -110,3 +110,43 @@ def test_hopping_aggregate_covering_windows(ray_session):
     for key, (n, s) in rows.items():
         assert got[key]["n_events"] == n
         assert abs(got[key]["sum_value"] - s) < 1e-9
+
+
+def test_running_aggregate_matches_pandas(ray_session):
+    from crn_meta_validate_ray.stages.window import running_aggregate
+    rng = np.random.default_rng(5)
+    n = 2000
+    base = pd.Timestamp("2024-01-01").value // 10**3
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 25, n), type=pa.int64()),
+        "ts": pa.array((base + rng.integers(0, 10**9, n))
+                       .astype("datetime64[us]")),
+        "value": pa.array(np.round(rng.random(n), 3)),
+    })
+    got = running_aggregate(rd.from_arrow(t).repartition(4)) \
+        .to_pandas().set_index("event_id").sort_index()
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   kind="stable")
+    df["run_n"] = df.groupby("user_id").cumcount() + 1
+    df["run_sum"] = df.groupby("user_id")["value"].cumsum()
+    want = df.set_index("event_id").sort_index()
+    assert (got["run_n"] == want["run_n"]).all()
+    assert np.allclose(got["run_sum"], want["run_sum"], atol=1e-12)
+
+
+def test_exact_quantiles_disc_semantics(ray_session):
+    from crn_meta_validate_ray.stages.quantile import exact_quantiles
+    vals = [5.0, 1.0, 3.0]
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+    out = {r["q"]: r["value"]
+           for r in exact_quantiles(ds, "x", [0.0, 0.33, 0.34, 0.5, 1.0])
+           .to_pylist()}
+    # quantile_disc: value at 1-based rank max(ceil(q*n), 1)
+    assert out[0.0] == 1.0 and out[0.33] == 1.0 and out[0.34] == 3.0
+    assert out[0.5] == 3.0 and out[1.0] == 5.0
+    # nulls excluded from ranks
+    ds2 = rd.from_arrow(pa.table({"x": pa.array([None, 2.0, None, 4.0])}))
+    out2 = {r["q"]: r["value"]
+            for r in exact_quantiles(ds2, "x", [0.5, 1.0]).to_pylist()}
+    assert out2[0.5] == 2.0 and out2[1.0] == 4.0
