@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": q.langid_documents,
         "props_stats_events": q.props_stats_events,
         "sample_documents": q.sample_documents,
+        "stratified_sample_documents": q.stratified_sample_documents,
+        "sink_roundtrip_documents": q.sink_roundtrip_documents,
         "multienum_violations_documents": q.multienum_violations_documents,
         "timestamp_violations_events": q.timestamp_violations_events,
         "dedup_keep_first_documents": q.dedup_keep_first_documents,
@@ -319,6 +321,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 8))
                        AS BIGINT) % 100 < 20
+        """,
+        "stratified_sample_documents": """
+            SELECT lang, doc_id, rk FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(coalesce(text, '')), doc_id) - 1
+                           AS rk
+                FROM documents)
+            WHERE rk < 20
+        """,
+        "sink_roundtrip_documents": """
+            SELECT CASE WHEN lang IS NULL OR trim(lang) = '' THEN 'und'
+                        ELSE lang END AS lang_p,
+                   count(*) AS n_docs,
+                   -- sum() yields HUGEINT; cast to match the engine's int64
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY lang_p
         """,
         "multienum_violations_documents": r"""
             WITH d AS (

@@ -447,6 +447,71 @@ def sample_documents(sf_dir: str):
         ("doc_id", pa.int64()), ("lang", pa.string())]))
 
 
+def stratified_sample_documents(sf_dir: str):
+    """Deterministic stratified sample: the 20 docs with the smallest
+    content hash per language (a fixed-size per-stratum 'reservoir' that is
+    stable across runs and cluster sizes) — grouped_topk composed over the
+    md5 fingerprint, null strata kept as their own group."""
+    from crn_meta_validate_ray.stages.topk import grouped_topk
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang"])
+    withfp = ds.map_batches(
+        lambda t: fingerprint_md5(t).drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topk(withfp, keys=["lang"], order_col="fp", k=20,
+                       descending=False, tiebreak_col="doc_id")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "rk": pc.cast(t["rk"], pa.int64())})
+
+    out = out.map_batches(project, batch_format="pyarrow")
+    return collect_with_schema(out, pa.schema([
+        ("lang", pa.string()), ("doc_id", pa.int64()), ("rk", pa.int64())]))
+
+
+def sink_roundtrip_documents(sf_dir: str):
+    """Partitioned Parquet sink (W-family): write documents hive-
+    partitioned by a normalized language key, read the layout back, and
+    census rows per partition — verifying the resumable-output layout
+    round-trips losslessly (oracle compares against the source table)."""
+    import shutil
+    import tempfile
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def partcol(t: pa.Table) -> pa.Table:
+        lang = pc.cast(t["lang"], pa.string())
+        blank = pc.equal(pc.utf8_trim_whitespace(pc.fill_null(lang, "")), "")
+        return pa.table({
+            "doc_id": t["doc_id"], "n_chars": t["n_chars"],
+            "lang_p": pc.if_else(blank, pa.scalar("und", pa.string()), lang)})
+
+    out_dir = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    try:
+        ds.map_batches(partcol, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+            .write_parquet(out_dir, partition_cols=["lang_p"])
+        back = rd.read_parquet(out_dir)
+        agg = back.groupby("lang_p").aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+
+        def cast(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang_p": pc.cast(t["lang_p"], pa.string()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64())})
+
+        return collect_with_schema(
+            agg.map_batches(cast, batch_format="pyarrow"),
+            pa.schema([("lang_p", pa.string()), ("n_docs", pa.int64()),
+                       ("n_chars", pa.int64())]))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 MULTIENUM_VOCAB = ["en", "de", "fr", "es", "zh"] + [f"src{i}" for i in range(10)]
 
 

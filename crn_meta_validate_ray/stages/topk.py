@@ -48,17 +48,20 @@ def grouped_topk(
     def prune(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(sort_cols, ascending=ascending,
                                        kind="stable")
-        return pa.Table.from_pandas(df.groupby(keys, sort=False).head(k),
-                                    preserve_index=False)
+        # dropna=False: a null key is a group of its own (SQL PARTITION BY
+        # semantics), not silently discarded
+        return pa.Table.from_pandas(
+            df.groupby(keys, sort=False, dropna=False).head(k),
+            preserve_index=False)
 
     survivors = ds.map_batches(prune, batch_format="pyarrow",
                                zero_copy_batch=True)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(sort_cols, ascending=ascending, kind="stable")
-        out = df.groupby(keys, sort=False).head(k).copy()
-        out[rank_col] = out.groupby(keys, sort=False).cumcount() \
-            .astype(np.int64)
+        out = df.groupby(keys, sort=False, dropna=False).head(k).copy()
+        out[rank_col] = out.groupby(keys, sort=False, dropna=False) \
+            .cumcount().astype(np.int64)
         return out
 
     return grouped_map(survivors, keys, final, num_buckets=num_buckets)

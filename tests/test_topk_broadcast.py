@@ -80,3 +80,18 @@ def test_broadcast_lookup_join_chained(ray_session):
                                 right_key="mk", carry_cols=["name"]) \
         .to_pandas().sort_values("k")
     assert out["name"].tolist() == ["seven", "eight"]
+
+
+def test_grouped_topk_null_key_is_own_group(ray_session):
+    """SQL PARTITION BY semantics: a null key forms its own group instead
+    of being dropped (pandas groupby default would discard it)."""
+    t = pa.table({
+        "key": pa.array([None, None, None, "a"], type=pa.string()),
+        "val": pa.array([3.0, 1.0, 2.0, 9.0]),
+        "rid": pa.array([0, 1, 2, 3], type=pa.int64()),
+    })
+    got = grouped_topk(rd.from_arrow(t), keys=["key"], order_col="val",
+                       k=2, tiebreak_col="rid").to_pandas()
+    nulls = got[got["key"].isna()].sort_values("rk")
+    assert nulls["rid"].tolist() == [0, 2]  # top-2 by val desc
+    assert got[got["key"] == "a"]["rid"].tolist() == [3]
