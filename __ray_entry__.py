@@ -47,15 +47,24 @@ def entry() -> Any:
         references=[RefRule("l_orderkey", "orders", "o_orderkey")],
     )
     li = rd.read_parquet(f"{SF0001}/lineitem.parquet")
+    # read PLANS built on the main thread (read_parquet construction is not
+    # thread-safe under a cold fsspec import); execution stays lazy
     narrow = rd.read_parquet(f"{SF0001}/lineitem.parquet",
                              columns=["l_orderkey", "l_linenumber"])
     orders = rd.read_parquet(f"{SF0001}/orders.parquet",
                              columns=["o_orderkey"])
-    extra = [group_check_findings(narrow, rules, salt_every=4096)]
-    rf = referential_findings(narrow, rules, {"orders": orders})
-    if rf is not None:
-        extra.append(rf)
-    run = validate_dataset(li, rules, extra_findings=extra)
+
+    # thunks: validate_dataset resolves these in worker threads so the
+    # eager group-check exchange and the referential anti-join overlap the
+    # fused per-cell pass instead of serializing before it
+    def _group_check():
+        return group_check_findings(narrow, rules, salt_every=4096)
+
+    def _ref_check():
+        return referential_findings(narrow, rules, {"orders": orders})
+
+    run = validate_dataset(li, rules, extra_findings=[_group_check,
+                                                     _ref_check])
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({"constraint_id": t["constraint_id"],

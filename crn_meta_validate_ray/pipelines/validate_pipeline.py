@@ -31,6 +31,15 @@ import pyarrow as pa
 
 import ray.data as rd
 
+# read_parquet's path resolution lazily imports fsspec.implementations.http;
+# a cold concurrent import from the extra-findings worker threads can observe
+# a partially-initialized module (ImportError: cannot import name
+# 'HTTPFileSystem').  Import it once here, on the main thread.
+try:  # pragma: no cover - environment-dependent
+    import fsspec.implementations.http  # noqa: F401
+except Exception:
+    pass
+
 from crn_meta_validate_ray.registry import TableRules, NULL_SENTINEL
 from crn_meta_validate_ray.report import (
     ReportCollector,
