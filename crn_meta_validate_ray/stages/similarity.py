@@ -68,6 +68,25 @@ class _ScoreBatch:
                          "score": pa.array(sc, type=pa.float64())})
 
 
+def _merge_topk_partials(partials: "rd.Dataset", k: int) -> "rd.Dataset":
+    """Per-query merge of a bounded partial top-k stream (≤ k × Q rows per
+    block) on the driver — a distributed groupby here would cost a whole
+    shuffle for a result that fits in one hand.  Ranks 0..k-1, ties broken
+    by vec_id for determinism."""
+    frames = [b.to_pandas() for b in partials.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")]
+    allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"query_idx": [], "vec_id": [], "score": []})
+    allp = allp.sort_values(["query_idx", "score", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+    topk = allp.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    topk["rank"] = topk.groupby("query_idx", sort=False).cumcount() \
+        .astype(np.int32)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.Table.from_pandas(
+        topk[["query_idx", "rank", "vec_id", "score"]], preserve_index=False))
+
+
 def knn_brute_force(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
                     *, id_col: str = "vec_id", vec_col: str = "embedding",
                     concurrency=(1, 8)) -> "rd.Dataset":
@@ -79,22 +98,7 @@ def knn_brute_force(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
     partials = ds.map_batches(
         _ScoreBatch, fn_constructor_args=(qref, id_col, vec_col, k),
         batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
-
-    # the partial top-k stream is ≤ k × Q rows per block — merge on the
-    # driver (a distributed groupby here would cost a whole shuffle)
-    frames = [b.to_pandas() for b in partials.iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow")]
-    allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-        {"query_idx": [], "vec_id": [], "score": []})
-    allp = allp.sort_values(["query_idx", "score", "vec_id"],
-                            ascending=[True, False, True], kind="stable")
-    topk = allp.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
-    topk["rank"] = topk.groupby("query_idx", sort=False).cumcount() \
-        .astype(np.int32)
-    out = pa.Table.from_pandas(
-        topk[["query_idx", "rank", "vec_id", "score"]], preserve_index=False)
-    import ray.data as _rd
-    return _rd.from_arrow(out)
+    return _merge_topk_partials(partials, k)
 
 
 class _BucketStage:
@@ -115,10 +119,19 @@ class _BucketStage:
 
 def lsh_ann(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
             *, id_col: str = "vec_id", vec_col: str = "embedding",
-            n_planes: int = 8, seed: int = 11) -> "rd.Dataset":
+            n_planes: int = 8, seed: int = 11,
+            multiprobe: int = 1) -> "rd.Dataset":
     """Approximate top-k: queries are routed to their hyperplane bucket and
-    compared only against vectors in the same bucket.  Recall < 1 by
-    construction; raise recall with fewer planes or multi-probe."""
+    compared only against vectors in the same bucket(s).
+
+    ``multiprobe`` is the recall lever: each query additionally probes
+    every bucket within Hamming distance ``multiprobe`` of its own sign
+    pattern (1 → the ``n_planes`` one-bit-flip neighbours — the vectors a
+    single near-boundary hyperplane put on the other side).  Probing costs
+    no extra shuffle: only the query→bucket routing table grows; the
+    dataset side is still bucketed once.  ``multiprobe=0`` is the classic
+    single-probe; per-query results merge across probed buckets before the
+    final top-k cut."""
     queries = np.asarray(queries, dtype=np.float32)
     dim = queries.shape[1]
     stage = _BucketStage(dim, n_planes, seed)
@@ -129,13 +142,21 @@ def lsh_ann(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
     qn = _normalize(queries)
     by_bucket: dict[int, list[int]] = {}
     for qi, b in enumerate(qbucket):
-        by_bucket.setdefault(int(b), []).append(qi)
+        probes = {int(b)}
+        if multiprobe >= 1:
+            probes |= {int(b) ^ (1 << j) for j in range(n_planes)}
+        if multiprobe >= 2:
+            for j in range(n_planes):
+                for l in range(j + 1, n_planes):
+                    probes.add(int(b) ^ (1 << j) ^ (1 << l))
+        for pb in probes:
+            by_bucket.setdefault(pb, []).append(qi)
 
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
         stage, batch_format="pyarrow")
 
     def within(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"query_idx": [], "rank": [], "vec_id": [], "score": []}
+        out = {"query_idx": [], "vec_id": [], "score": []}
         for b, g in df.groupby("bucket", sort=False):
             qis = by_bucket.get(int(b), [])
             if not qis:
@@ -146,22 +167,22 @@ def lsh_ann(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
             for qi in qis:
                 scores = m @ qn[qi]
                 order = np.lexsort((ids, -scores))[:k]
-                for r, row in enumerate(order):
-                    out["query_idx"].append(qi)
-                    out["rank"].append(r)
-                    out["vec_id"].append(int(ids[row]))
-                    out["score"].append(float(scores[row]))
+                out["query_idx"].extend([qi] * len(order))
+                out["vec_id"].extend(ids[order].tolist())
+                out["score"].extend(scores[order].astype(np.float64).tolist())
         res = pd.DataFrame(out)
         if not len(res):
             res = pd.DataFrame({"query_idx": pd.Series(dtype=np.int64),
-                                "rank": pd.Series(dtype=np.int64),
                                 "vec_id": pd.Series(dtype=np.int64),
                                 "score": pd.Series(dtype=np.float64)})
         return res
 
     from crn_meta_validate_ray.stages.common import grouped_map
 
-    return grouped_map(bucketed, ["bucket"], within)
+    # a vector lives in exactly one bucket, so (query, vec) partials are
+    # unique across probed buckets — merge + final rank cut per query
+    partials = grouped_map(bucketed, ["bucket"], within)
+    return _merge_topk_partials(partials, k)
 
 
 class _NearDupBatch:
@@ -446,15 +467,4 @@ def ivf_ann(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
     from crn_meta_validate_ray.stages.common import grouped_map
 
     partials = grouped_map(assigned, ["ivf_list"], within)
-    frames = [b.to_pandas() for b in partials.iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow")]
-    allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-        {"query_idx": [], "vec_id": [], "score": []})
-    allp = allp.sort_values(["query_idx", "score", "vec_id"],
-                            ascending=[True, False, True], kind="stable")
-    topk = allp.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
-    topk["rank"] = topk.groupby("query_idx", sort=False).cumcount() \
-        .astype(np.int32)
-    import ray.data as _rd
-    return _rd.from_arrow(pa.Table.from_pandas(
-        topk[["query_idx", "rank", "vec_id", "score"]], preserve_index=False))
+    return _merge_topk_partials(partials, k)

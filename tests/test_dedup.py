@@ -303,3 +303,44 @@ def test_ngram_jaccard_dropped_bucket_census(ray_session):
                                            max_posting=4, with_stats=True)
     assert stats["n_buckets_skipped"] >= 1
     assert stats["n_docs_dropped"] >= 10
+
+
+def test_lsh_ann_multiprobe_recall(ray_session):
+    """Multi-probe LSH: probing 1-bit-flip buckets strictly widens the
+    candidate set, so recall vs brute force is monotone in multiprobe and
+    ranks stay per-query (no duplicate rank rows across probed buckets)."""
+    import numpy as np
+
+    from crn_meta_validate_ray.stages.similarity import (knn_brute_force,
+                                                         lsh_ann)
+    rng = np.random.default_rng(17)
+    n, d = 400, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), d),
+    })
+    ds = rd.from_arrow(t)
+    queries = vecs[:4]
+    exact = {}
+    for r in knn_brute_force(ds, queries, k=5).take_all():
+        exact.setdefault(r["query_idx"], set()).add(r["vec_id"])
+
+    def recall(mp):
+        got = {}
+        rows = lsh_ann(ds, queries, k=5, n_planes=6, multiprobe=mp).take_all()
+        for r in rows:
+            got.setdefault(r["query_idx"], set()).add(r["vec_id"])
+        # per-query ranks are dense 0..k'-1 (merged across probed buckets)
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_idx"], []).append(r["rank"])
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(len(ranks)))
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2
+    assert r2 >= 0.8  # 2-bit probes over 6 planes cover most splits
