@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q.pricing_summary,
         "top_orders": q.top_orders,
         "top_orders_per_customer": q.top_orders_per_customer,
+        "distinct_counts_events": q.distinct_counts_events,
+        "csv_roundtrip_events": q.csv_roundtrip_events,
         "revenue_by_nation": q.revenue_by_nation,
         "rowcounts": q.rowcounts,
         # text analysis / dedup (training-data ops)
@@ -213,6 +215,18 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct_counts_events": """
+            SELECT 'user_id' AS "column",
+                   count(DISTINCT user_id) AS n_distinct FROM events
+            UNION ALL
+            SELECT 'event_type', count(DISTINCT event_type) FROM events
+        """,
+        "csv_roundtrip_events": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM (SELECT * FROM events ORDER BY event_id LIMIT 2000)
+            GROUP BY event_type
         """,
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey,

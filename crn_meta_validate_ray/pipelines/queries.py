@@ -270,6 +270,58 @@ def top_orders(sf_dir: str):
     return out.map_batches(roundcols, batch_format="pyarrow")
 
 
+def distinct_counts_events(sf_dir: str):
+    """Exact distinct counts done scale-shaped: per-batch unique values
+    (the combiner) then a distributed drop-duplicates per column — only
+    distinct values ever shuffle, never the rows."""
+    from crn_meta_validate_ray.stages.common import drop_duplicate_rows
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+    out_rows = []
+    for col in ("user_id", "event_type"):
+        uniq = ds.select_columns([col]).map_batches(
+            lambda t, c=col: pa.table({c: pc.drop_null(pc.unique(
+                t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray)
+                else t[c]))}),  # SQL count(DISTINCT) excludes nulls
+            batch_format="pyarrow", zero_copy_batch=True)
+        n = drop_duplicate_rows(uniq, [col]).count()
+        out_rows.append({"column": col, "n_distinct": n})
+    return pa.Table.from_pylist(out_rows, schema=pa.schema(
+        [("column", pa.string()), ("n_distinct", pa.int64())]))
+
+
+def csv_roundtrip_events(sf_dir: str):
+    """S-family driver coverage: serialize an events slice to a
+    semicolon-delimited CSV, run the full ingest ladder (delimiter
+    detection → structure validation → typed read), and census the result
+    — oracle-compared against the source rows."""
+    import tempfile
+
+    from crn_meta_validate_ray.sources.csv_ingest import (
+        detect_delimiter,
+        get_row_count,
+        read_csv_with_fallbacks,
+        validate_structure,
+    )
+    src = rd.read_parquet(_p(sf_dir, "events"),
+                          columns=["event_id", "event_type", "value"]) \
+        .to_pandas().sort_values("event_id").head(2000)
+    content = src.to_csv(sep=";", index=False).encode("utf-8")
+    delim, confidence, _ = detect_delimiter(content)
+    assert delim == ";" and confidence > 0
+    assert validate_structure(content, delim).ok
+    assert get_row_count(content, delim) == len(src)
+    df, _enc, _engine, _errors = read_csv_with_fallbacks(content,
+                                                         separator=delim)
+    df["event_id"] = df["event_id"].astype("int64")
+    df["value"] = df["value"].astype("float64")
+    agg = df.groupby("event_type", sort=True).agg(
+        n=("event_id", "size"), sum_value=("value", "sum")).reset_index()
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_value"] = agg["sum_value"].round(4)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def top_orders_per_customer(sf_dir: str):
     """Grouped top-k WITHOUT a global sort (per-batch k-prune combiner +
     one narrow exchange): top-2 orders by totalprice per customer."""
