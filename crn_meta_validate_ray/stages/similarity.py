@@ -89,15 +89,28 @@ def _merge_topk_partials(partials: "rd.Dataset", k: int) -> "rd.Dataset":
 
 def knn_brute_force(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
                     *, id_col: str = "vec_id", vec_col: str = "embedding",
-                    concurrency=(1, 8)) -> "rd.Dataset":
+                    concurrency=None) -> "rd.Dataset":
     """Exact cosine top-k: per-batch partial top-k then per-query merge.
     Output: (query_idx, rank, vec_id, score), rank 0..k-1, ties broken by
-    vec_id for determinism."""
+    vec_id for determinism.
+
+    Stateless tasks by default — the broadcast query matrix is a plasma
+    object, and ``ray.get`` inside a task is a zero-copy shared-memory
+    read after the first touch per node, so an actor pool would only add
+    spin-up latency.  Pass a ``concurrency`` tuple for an actor pool."""
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     qref = ray.put(qn)
-    partials = ds.map_batches(
-        _ScoreBatch, fn_constructor_args=(qref, id_col, vec_col, k),
-        batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+    if concurrency is not None:
+        partials = ds.map_batches(
+            _ScoreBatch, fn_constructor_args=(qref, id_col, vec_col, k),
+            batch_format="pyarrow", concurrency=concurrency,
+            zero_copy_batch=True)
+    else:
+        def score(batch: pa.Table) -> pa.Table:
+            return _ScoreBatch(qref, id_col, vec_col, k)(batch)
+
+        partials = ds.map_batches(score, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     return _merge_topk_partials(partials, k)
 
 
@@ -231,8 +244,7 @@ NEAR_DUP_SMALL_N = 200_000  # broadcast guard: N×D×4B must fit one worker
 
 
 def _near_dup_broadcast(narrow: "rd.Dataset", threshold: float,
-                        id_col: str, vec_col: str,
-                        concurrency) -> "rd.Dataset":
+                        id_col: str, vec_col: str) -> "rd.Dataset":
     """Exact all-pairs via a broadcast reference matrix (small-N fast
     path): one Ray task folds the materialized blocks into a (N, D)
     normalized matrix; every batch matmuls against it.  O(N²) compute —
@@ -241,10 +253,13 @@ def _near_dup_broadcast(narrow: "rd.Dataset", threshold: float,
     refs = mat.to_arrow_refs()
     build = ray.remote(_build_ref_matrix)
     ref = build.remote(vec_col, id_col, *refs)
-    return mat.map_batches(
-        _NearDupBatch, fn_constructor_args=(ref, None, threshold, vec_col,
-                                            id_col),
-        batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+
+    # stateless tasks: ray.get of the reference matrix is zero-copy plasma
+    def score(batch: pa.Table) -> pa.Table:
+        return _NearDupBatch(ref, None, threshold, vec_col, id_col)(batch)
+
+    return mat.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 class _MultiTableBucketStage:
@@ -351,7 +366,7 @@ def _near_dup_lsh(narrow: "rd.Dataset", threshold: float, id_col: str,
 def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             concurrency=(1, 8), mode: str = "auto",
+                             mode: str = "auto",
                              small_n_guard: int = NEAR_DUP_SMALL_N,
                              n_planes: int = 8, n_tables: int = 6,
                              seed: int = 11,
@@ -368,8 +383,7 @@ def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
     if mode == "auto":
         mode = "broadcast" if narrow.count() <= small_n_guard else "lsh"
     if mode == "broadcast":
-        return _near_dup_broadcast(narrow, threshold, id_col, vec_col,
-                                   concurrency)
+        return _near_dup_broadcast(narrow, threshold, id_col, vec_col)
     return _near_dup_lsh(narrow, threshold, id_col, vec_col,
                          n_planes=n_planes, n_tables=n_tables, seed=seed,
                          max_bucket=max_bucket)
@@ -438,9 +452,12 @@ def ivf_ann(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
         for li in lists:
             probe_of_list.setdefault(int(li), []).append(qi)
 
-    assigned = narrow.map_batches(
-        _IvfAssign, fn_constructor_args=(cent_ref, vec_col),
-        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+    def assign(batch: pa.Table) -> pa.Table:
+        # stateless task; centroid fetch is a zero-copy plasma read
+        return _IvfAssign(cent_ref, vec_col)(batch)
+
+    assigned = narrow.map_batches(assign, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     def within(df: pd.DataFrame) -> pd.DataFrame:
         out = {"query_idx": [], "vec_id": [], "score": []}
