@@ -1,0 +1,53 @@
+"""Job entry point (python -m crn_meta_validate_ray): validate +
+kill/resume round trip in subprocesses (the `ray job submit` surface)."""
+
+import json
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(ray_session):
+    from crn_meta_validate_ray.sources.synth import CorpusSpec, write_corpus
+    return write_corpus(CorpusSpec(n_convs=50, inject=("V1", "V10")),
+                        tempfile.mkdtemp(prefix="cli_corpus_"), files=4)
+
+
+def _run(args, cwd="/root/repo"):
+    return subprocess.run([sys.executable, "-m", "crn_meta_validate_ray",
+                           *args], capture_output=True, text=True, cwd=cwd,
+                          timeout=240)
+
+
+def test_cli_validate(cli_corpus):
+    out = _run(["validate", "--turns", cli_corpus["turns_dir"],
+                "--conversations", cli_corpus["conversations"]])
+    assert out.returncode == 1, out.stderr[-500:]  # violations injected
+    verdict = json.loads(out.stdout.strip().splitlines()[-1])
+    assert verdict["passed"] is False and verdict["errors"] >= 1
+    assert verdict["n_rows"] > 0
+
+
+def test_cli_resumable_kill_and_resume(cli_corpus):
+    d = tempfile.mkdtemp(prefix="cli_resume_")
+    killed = _run(["resumable", "--turns", cli_corpus["turns_dir"],
+                   "--conversations", cli_corpus["conversations"],
+                   "--out", d, "--max-partitions", "2"])
+    assert killed.returncode == 3
+    assert json.loads(killed.stdout.strip().splitlines()[-1])[
+        "stopped_early"] is True
+    resumed = _run(["resumable", "--turns", cli_corpus["turns_dir"],
+                    "--conversations", cli_corpus["conversations"],
+                    "--out", d])
+    assert resumed.returncode == 1
+    verdict = json.loads(resumed.stdout.strip().splitlines()[-1])
+    # resume completes to the same verdict a fresh full run produces
+    full = _run(["validate", "--turns", cli_corpus["turns_dir"],
+                 "--conversations", cli_corpus["conversations"]])
+    fv = json.loads(full.stdout.strip().splitlines()[-1])
+    assert verdict["errors"] == fv["errors"]
+    assert verdict["n_rows"] == fv["n_rows"]
+    assert verdict["violation_counts"] == fv["violation_counts"]
