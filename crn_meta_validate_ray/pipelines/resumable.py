@@ -117,6 +117,21 @@ def run_resumable(
         "files_per_partition": g,
         "partition_files": pids,
     })
+    # the group/ref phase reads the RAW input (never partition outputs), so
+    # on a real full run it overlaps the partition loop in a worker thread
+    # — the checkpoint boundary only requires its manifest to commit
+    # atomically, not to start after the partitions.  Under max_partitions
+    # (simulated kill) it stays serial so the killed state matches a
+    # process that died mid-loop.
+    gpid = "_groupcheck"
+    gc_future = gc_executor = None
+    if max_partitions is None and not store.is_valid(gpid, files, cs_hash):
+        from concurrent.futures import ThreadPoolExecutor
+        gc_executor = ThreadPoolExecutor(max_workers=1)
+        gc_future = gc_executor.submit(
+            _run_group_phase, store, gpid, files, cs_hash, out_dir, rules,
+            conversations_path, salt_every)
+
     done = 0
     for pid, group in pids.items():
         if store.is_valid(pid, group, cs_hash):
@@ -146,59 +161,73 @@ def run_resumable(
         done += 1
 
     # ---- phase 2: cross-partition group / referential checks ----
-    gpid = "_groupcheck"
-    if not store.is_valid(gpid, files, cs_hash):
+    if gc_future is not None:
+        try:
+            gc_future.result()
+        finally:
+            gc_executor.shutdown(wait=True)
+    elif not store.is_valid(gpid, files, cs_hash):
         if max_partitions is not None and done >= max_partitions:
             return None
-        gc_dir = os.path.join(out_dir, "groupcheck")
-        findings = []
-        group_rules = TableRules(table=rules.table, fields=[],
-                                 locator=rules.locator, unique=rules.unique,
-                                 sequences=rules.sequences, drift=rules.drift)
-        narrow_cols = sorted({c for s in rules.sequences
-                              for c in (s.group_col, s.index_col)}
-                             | {c for u in rules.unique for c in u.columns}
-                             | {d.column for d in rules.drift if d.column})
-        if narrow_cols:
-            narrow = rd.read_parquet(files, columns=narrow_cols)
-            gc = group_check_findings(narrow, group_rules,
-                                      salt_every=salt_every)
-            if gc is not None:
-                findings.append(gc)
-        if conversations_path and rules.references:
-            ref = rules.references[0]
-            fk_cols = sorted({ref.column} | set(rules.locator))
-            fk = rd.read_parquet(files, columns=fk_cols)
-            convs = rd.read_parquet(conversations_path,
-                                    columns=[ref.target_column])
-            rf = referential_findings(fk, rules,
-                                      {ref.target_table: convs})
-            if rf is not None:
-                findings.append(rf)
-        counts: dict = {}
-        sketches_json: dict = {}
-        if findings:
-            merged = findings[0]
-            for f2 in findings[1:]:
-                merged = merged.union(f2)
-            fp = os.path.join(gc_dir, "findings")
-            import shutil
-            shutil.rmtree(fp + ".tmp", ignore_errors=True)
-            merged.write_parquet(fp + ".tmp", partition_cols=["kind"])
-            shutil.rmtree(fp, ignore_errors=True)
-            os.replace(fp + ".tmp", fp)
-            all_f = rd.read_parquet(fp)
-            counts = violation_counts(all_f.filter(expr="kind == 'violation'"))
-            sketches_json = sketches_to_json(merge_sketches_driver(
-                all_f.filter(expr="kind == 'sketch'")))
-        store.commit(gpid, {
-            "input_files": sorted(files),
-            "constraint_hash": cs_hash,
-            "violation_counts": counts,
-            "sketches": sketches_json,
-        })
+        _run_group_phase(store, gpid, files, cs_hash, out_dir, rules,
+                         conversations_path, salt_every)
 
     return merge_run(out_dir, rules)
+
+
+def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
+                     cs_hash: str, out_dir: str, rules: TableRules,
+                     conversations_path: str | None,
+                     salt_every: int) -> None:
+    """Cross-partition group / referential phase: runs once over the full
+    input (narrow columns only) and commits its own manifest."""
+    gc_dir = os.path.join(out_dir, "groupcheck")
+    findings = []
+    group_rules = TableRules(table=rules.table, fields=[],
+                             locator=rules.locator, unique=rules.unique,
+                             sequences=rules.sequences, drift=rules.drift)
+    narrow_cols = sorted({c for s in rules.sequences
+                          for c in (s.group_col, s.index_col)}
+                         | {c for u in rules.unique for c in u.columns}
+                         | {d.column for d in rules.drift if d.column})
+    if narrow_cols:
+        narrow = rd.read_parquet(files, columns=narrow_cols)
+        gc = group_check_findings(narrow, group_rules,
+                                  salt_every=salt_every)
+        if gc is not None:
+            findings.append(gc)
+    if conversations_path and rules.references:
+        ref = rules.references[0]
+        fk_cols = sorted({ref.column} | set(rules.locator))
+        fk = rd.read_parquet(files, columns=fk_cols)
+        convs = rd.read_parquet(conversations_path,
+                                columns=[ref.target_column])
+        rf = referential_findings(fk, rules,
+                                  {ref.target_table: convs})
+        if rf is not None:
+            findings.append(rf)
+    counts: dict = {}
+    sketches_json: dict = {}
+    if findings:
+        merged = findings[0]
+        for f2 in findings[1:]:
+            merged = merged.union(f2)
+        fp = os.path.join(gc_dir, "findings")
+        import shutil
+        shutil.rmtree(fp + ".tmp", ignore_errors=True)
+        merged.write_parquet(fp + ".tmp", partition_cols=["kind"])
+        shutil.rmtree(fp, ignore_errors=True)
+        os.replace(fp + ".tmp", fp)
+        all_f = rd.read_parquet(fp)
+        counts = violation_counts(all_f.filter(expr="kind == 'violation'"))
+        sketches_json = sketches_to_json(merge_sketches_driver(
+            all_f.filter(expr="kind == 'sketch'")))
+    store.commit(gpid, {
+        "input_files": sorted(files),
+        "constraint_hash": cs_hash,
+        "violation_counts": counts,
+        "sketches": sketches_json,
+    })
 
 
 def merge_run(out_dir: str, rules: TableRules) -> ValidationRun:

@@ -31,14 +31,31 @@ import pyarrow as pa
 
 import ray.data as rd
 
-# read_parquet's path resolution lazily imports fsspec.implementations.http;
-# a cold concurrent import from the extra-findings worker threads can observe
-# a partially-initialized module (ImportError: cannot import name
-# 'HTTPFileSystem').  Import it once here, on the main thread.
+# read_parquet's path resolution imports fsspec.implementations.http on
+# EVERY call (Ray only caches success).  Where aiohttp is absent the import
+# always fails, so two concurrent read_parquet constructions (the
+# extra-findings thunk threads) can observe a partially-initialized module —
+# an ImportError('cannot import name HTTPFileSystem') that escapes Ray's
+# ModuleNotFoundError guard.  Resolve it deterministically ONCE: register a
+# stub module whose HTTPFileSystem matches nothing (isinstance is then
+# False, the correct answer for local/S3 paths).
 try:  # pragma: no cover - environment-dependent
     import fsspec.implementations.http  # noqa: F401
-except Exception:
-    pass
+except ModuleNotFoundError:
+    import sys as _sys
+    import types as _types
+
+    class _NoHTTPFileSystem:  # placeholder type; never instantiated
+        pass
+
+    _stub = _types.ModuleType("fsspec.implementations.http")
+    _stub.HTTPFileSystem = _NoHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _stub
+    try:
+        import fsspec.implementations as _fi
+        _fi.http = _stub
+    except Exception:
+        pass
 
 from crn_meta_validate_ray.registry import TableRules, NULL_SENTINEL
 from crn_meta_validate_ray.report import (
