@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_documents": q.minhash_pairs_documents,
         "simhash_pairs_documents": q.simhash_pairs_documents,
         "jaccard_pairs_documents": q.jaccard_pairs_documents,
+        "dedup_clusters_documents": q.dedup_clusters_documents,
         # similarity search
         "knn_embeddings": q.knn_embeddings,
         "lsh_ann_embeddings": q.lsh_ann_embeddings,
@@ -437,6 +438,35 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / len(list_distinct(a.grams || b.grams)) >= 0.5
+        """,
+        "dedup_clusters_documents": r"""
+            WITH RECURSIVE g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2,
+                        CASE WHEN len(toks) > 0 AND len(toks) < 3
+                             THEN 1 ELSE 0 END)),
+                    i -> CASE WHEN len(toks) >= 3
+                              THEN toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]
+                              ELSE array_to_string(toks, ' ') END)) AS grams
+                FROM (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+')
+                                 AS toks
+                      FROM documents)
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / len(list_distinct(a.grams || b.grams)) >= 0.5
+            ), e AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION ALL SELECT id_b, id_a FROM p
+            ), r(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                UNION
+                SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u
         """,
         "range_join_events": """
             SELECT p.event_id, count(*) AS n_clicks

@@ -699,6 +699,20 @@ def jaccard_pairs_documents(sf_dir: str):
         ("jaccard", pa.float64())]))
 
 
+def dedup_clusters_documents(sf_dir: str):
+    """Near-dup CLUSTER assignment — the canonical final dedup step:
+    exact n-gram Jaccard pairs → distributed min-label propagation
+    (stages/graph.connected_components) → (doc_id, cluster_id = min id in
+    component); doc_id == cluster_id marks the keeper."""
+    from crn_meta_validate_ray.stages.dedup import ngram_jaccard_exact_pairs
+    from crn_meta_validate_ray.stages.graph import connected_components
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = ngram_jaccard_exact_pairs(ds, threshold=0.5, ngram=3)
+    out = connected_components(pairs)
+    return collect_with_schema(out, pa.schema([
+        ("doc_id", pa.int64()), ("cluster_id", pa.int64())]))
+
+
 def range_join_events(sf_dir: str):
     """Range (interval) join custom operator: for each purchase event, the
     number of click events by the same user in the preceding 24 hours."""
