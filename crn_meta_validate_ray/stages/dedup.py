@@ -233,18 +233,29 @@ def _verify_pairs_driver(pairs: "rd.Dataset", sigrows: "rd.Dataset",
         keep = pc.is_in(t["doc_id"], value_set=ray.get(needed_ref))
         return t.filter(keep)
 
-    sig_map, gram_map = {}, {}
+    id_chunks, sig_chunks, gram_map = [], [], {}
     for b in sigrows.map_batches(pull, batch_format="pyarrow",
                                  zero_copy_batch=True) \
             .iter_batches(batch_size=1 << 14, batch_format="pyarrow"):
-        ids = b["doc_id"].to_pylist()
-        for i, s in zip(ids, b["sig"].to_pylist()):
-            sig_map[i] = np.asarray(s, dtype=np.int64)
+        ids_np = np.asarray(b["doc_id"].to_pandas(), dtype=np.int64)
+        sc = b["sig"].combine_chunks() if isinstance(b["sig"],
+                                                     pa.ChunkedArray) \
+            else b["sig"]
+        flat = np.asarray(sc.flatten(), dtype=np.int64)
+        id_chunks.append(ids_np)
+        sig_chunks.append(flat.reshape(len(ids_np), -1) if len(ids_np)
+                          else flat.reshape(0, 0))
         if exact_jaccard:
-            for i, g in zip(ids, b["grams"].to_pylist()):
+            for i, g in zip(ids_np.tolist(), b["grams"].to_pylist()):
                 gram_map[i] = np.asarray(g, dtype=np.int64)
-    A = np.vstack([sig_map[i] for i in pr["id_a"]])
-    B = np.vstack([sig_map[i] for i in pr["id_b"]])
+    all_ids = np.concatenate(id_chunks) if id_chunks \
+        else np.empty(0, dtype=np.int64)
+    M = np.vstack(sig_chunks) if sig_chunks else np.zeros((0, 1), np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    all_ids, M = all_ids[order], M[order]
+    # one searchsorted instead of 2×|pairs| dict lookups + tiny vstacks
+    A = M[np.searchsorted(all_ids, pr["id_a"].to_numpy(dtype=np.int64))]
+    B = M[np.searchsorted(all_ids, pr["id_b"].to_numpy(dtype=np.int64))]
     sims = (A == B).mean(axis=1)
     if exact_jaccard:
         for k, (a, b_) in enumerate(zip(pr["id_a"], pr["id_b"])):

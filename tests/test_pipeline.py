@@ -324,3 +324,63 @@ def test_validate_conversations_table(corpus, ray_session):
     conv = run.extras["conversations"]
     assert conv["verdict"]["n_rows"] > 0
     assert "errors" in conv["verdict"]
+
+
+def test_prefold_block_parity(ray_session):
+    """fold_findings over the raw findings stream and over the
+    _prefold_block-reduced stream produce identical colstats, violation
+    counts, and merged sketch estimates."""
+    import base64
+
+    import pyarrow as pa
+
+    from crn_meta_validate_ray.registry import transcript_rules
+    from crn_meta_validate_ray.pipelines.validate_pipeline import (
+        _prefold_block, fold_findings)
+    from crn_meta_validate_ray.stages.validate import FINDINGS_SCHEMA
+    from crn_meta_validate_ray.state.sketches import HyperLogLog
+
+    import numpy as np
+
+    h1, h2 = HyperLogLog(), HyperLogLog()
+    h1.update(np.array([str(i) for i in range(500)], dtype=object))
+    h2.update(np.array([str(i) for i in range(300, 800)], dtype=object))
+    rows = []
+    for i in range(40):
+        rows.append({"kind": "violation", "table": "turns", "column": "role",
+                     "constraint_id": "enum:role", "severity": "error",
+                     "value": f"bad{i % 3}", "row_key": f"c{i}|0",
+                     "sort_key": f"{i:08d}", "n_rows": 0, "n_null": 0,
+                     "n_invalid": 0, "invalid_values": None,
+                     "invalid_value_keys": None, "exact": True})
+    for j, (nn, ni) in enumerate([(5, 2), (0, 1), (3, 0)]):
+        rows.append({"kind": "colstat", "table": "turns", "column": "role",
+                     "constraint_id": "enum:role", "severity": "error",
+                     "value": None, "row_key": None, "sort_key": None,
+                     "n_rows": 100, "n_null": nn, "n_invalid": ni,
+                     "invalid_values": [f"v{j}"],
+                     "invalid_value_keys": [f"{j:08d}"], "exact": True})
+    for h in (h1, h2):
+        rows.append({"kind": "sketch", "table": "turns",
+                     "column": "hll:conv_id", "constraint_id": "sketch",
+                     "severity": "info",
+                     "value": base64.b64encode(h.to_bytes()).decode(),
+                     "row_key": None, "sort_key": None, "n_rows": 0,
+                     "n_null": 0, "n_invalid": 0, "invalid_values": None,
+                     "invalid_value_keys": None, "exact": True})
+    t = pa.Table.from_pylist(rows, schema=FINDINGS_SCHEMA)
+    rules = transcript_rules()
+
+    cs_raw, counts_raw, sk_raw = fold_findings(iter([t]), rules)
+    cs_pre, counts_pre, sk_pre = fold_findings(
+        iter([_prefold_block(t)]), rules)
+    assert counts_raw == counts_pre == {"enum:role": 40}
+    assert cs_raw.keys() == cs_pre.keys()
+    for col in cs_raw:
+        a, b = cs_raw[col], cs_pre[col]
+        assert (a.n_rows, a.n_null, a.n_invalid) == \
+            (b.n_rows, b.n_null, b.n_invalid)
+        assert a.distinct_invalid == b.distinct_invalid
+    assert sk_raw.keys() == sk_pre.keys()
+    for k in sk_raw:
+        assert abs(sk_raw[k].estimate() - sk_pre[k].estimate()) < 1e-9
