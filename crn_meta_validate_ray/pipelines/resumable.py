@@ -133,32 +133,42 @@ def run_resumable(
             conversations_path, salt_every)
 
     done = 0
-    for pid, group in pids.items():
-        if store.is_valid(pid, group, cs_hash):
-            continue
-        if max_partitions is not None and done >= max_partitions:
-            return None
-        part_dir = os.path.join(out_dir, "partitions", pid)
-        ds = rd.read_parquet(group)
-        extra = []
-        sk = sketch_findings(ds, rules)
-        if sk is not None:
-            extra.append(sk)
-        run = validate_dataset(ds, cell_rules, mode="write", out_dir=part_dir,
-                               batch_size=batch_size, extra_findings=extra,
-                               include_details=False)
-        store.commit(pid, {
-            "input_files": sorted(group),
-            "input_bytes": sum(os.path.getsize(f) for f in group),
-            "constraint_hash": cs_hash,
-            "n_rows": run.n_rows,
-            "schema_names": list(ds.schema().names),
-            "colstats": colstats_to_json(run.colstats),
-            "violation_counts": run.extras["violation_counts"],
-            "sketches": sketches_to_json(run.extras["sketches"]),
-            "findings_path": run.findings_path,
-        })
-        done += 1
+    try:
+        for pid, group in pids.items():
+            if store.is_valid(pid, group, cs_hash):
+                continue
+            if max_partitions is not None and done >= max_partitions:
+                return None
+            part_dir = os.path.join(out_dir, "partitions", pid)
+            ds = rd.read_parquet(group)
+            extra = []
+            sk = sketch_findings(ds, rules)
+            if sk is not None:
+                extra.append(sk)
+            run = validate_dataset(ds, cell_rules, mode="write",
+                                   out_dir=part_dir, batch_size=batch_size,
+                                   extra_findings=extra,
+                                   include_details=False)
+            store.commit(pid, {
+                "input_files": sorted(group),
+                "input_bytes": sum(os.path.getsize(f) for f in group),
+                "constraint_hash": cs_hash,
+                "n_rows": run.n_rows,
+                "schema_names": list(ds.schema().names),
+                "colstats": colstats_to_json(run.colstats),
+                "violation_counts": run.extras["violation_counts"],
+                "sketches": sketches_to_json(run.extras["sketches"]),
+                "findings_path": run.findings_path,
+            })
+            done += 1
+    except BaseException:
+        # a partition failure must propagate NOW, not after the overlapped
+        # group phase drains; the running future cannot be interrupted but
+        # its commit is lineage-checked, so abandoning it is safe (the
+        # interpreter joins the non-daemon thread at exit)
+        if gc_executor is not None:
+            gc_executor.shutdown(wait=False, cancel_futures=True)
+        raise
 
     # ---- phase 2: cross-partition group / referential checks ----
     if gc_future is not None:

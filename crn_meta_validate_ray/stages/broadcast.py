@@ -24,20 +24,35 @@ import ray.data as rd
 
 
 def _build_dim(key_col: str, carry_cols: list[str], *tbls: pa.Table):
-    """Ray task: concat dimension blocks → (sorted keys, carry arrays)."""
-    good = [t for t in tbls if t.num_rows]
-    if not good:
-        return np.empty(0, dtype=np.int64), {}
-    t = pa.concat_tables(good)
-    keys = np.asarray(pc.cast(t[key_col], pa.int64()).combine_chunks()
-                      if isinstance(t[key_col], pa.ChunkedArray)
-                      else pc.cast(t[key_col], pa.int64()))
+    """Ray task: concat dimension blocks → (sorted keys, carry arrays).
+    An empty dimension still yields typed empty carry arrays (misses then
+    resolve to nulls); a duplicate dimension key raises — this is a
+    LOOKUP join, one carry row per key, and silently picking one of
+    several matches would diverge from SQL join semantics."""
+    from crn_meta_validate_ray.stages.common import as_i64
+
+    t = pa.concat_tables(list(tbls)) if tbls else None
+    if t is None or t.num_rows == 0:
+        empty = {c: (t[c].combine_chunks()
+                     if t is not None and isinstance(t[c], pa.ChunkedArray)
+                     else (t[c] if t is not None
+                           else pa.array([], type=pa.null())))
+                 for c in carry_cols}
+        return np.empty(0, dtype=np.int64), empty
+    keys = np.asarray(as_i64(t, key_col))
     order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    if len(keys) > 1 and bool((keys[1:] == keys[:-1]).any()):
+        dup = int(keys[1:][keys[1:] == keys[:-1]][0])
+        raise ValueError(
+            f"broadcast_lookup_join: dimension key {key_col!r} is not "
+            f"unique (e.g. {dup}); a lookup join needs one carry row per "
+            "key — deduplicate the dimension first")
     sorted_t = t.take(pa.array(order))
     carries = {c: sorted_t[c].combine_chunks()
                if isinstance(sorted_t[c], pa.ChunkedArray) else sorted_t[c]
                for c in carry_cols}
-    return keys[order], carries
+    return keys, carries
 
 
 class _LookupStage:
@@ -84,9 +99,12 @@ def broadcast_lookup_join(
     carry_cols: list[str],
     concurrency=None,
 ) -> "rd.Dataset":
-    """Left join ``ds`` to the small ``dim`` on ``left_key = right_key``,
-    appending ``carry_cols`` (null where unmatched).  The dim is shipped
-    once via the object store; the fact side streams map-only.
+    """LOOKUP (left-equi) join of ``ds`` to the small ``dim`` on
+    ``left_key = right_key``, appending ``carry_cols`` (null where
+    unmatched).  The dimension key must be unique — one carry row per key
+    (duplicates raise in the build task); use a shuffle join when a key
+    legitimately matches several dimension rows.  The dim is shipped once
+    via the object store; the fact side streams map-only.
 
     Runs as stateless tasks by default — ``ray.get`` of the dim inside a
     task is a zero-copy shared-memory read after the first touch per node,

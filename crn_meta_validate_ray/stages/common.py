@@ -52,6 +52,12 @@ def resolve_num_buckets(num_buckets: int | None) -> int:
     return max(8, min(128, 2 * cpus))
 
 
+def as_i64(t: pa.Table, col: str) -> pa.Array:
+    """Column → combined int64 Arrow array (shared cast idiom)."""
+    out = pc.cast(t[col], pa.int64())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def hash_bucket_column(t: pa.Table, keys: list[str],
                        num_buckets: int) -> pa.Array:
     """Vectorized hash of the key columns → int32 bucket id."""

@@ -8,12 +8,14 @@ vertex through one hash-bucket exchange and lowers each vertex's label to
 the minimum over itself and its neighbors' labels; rounds repeat until no
 label changes.  Convergence is O(graph diameter) rounds — near-dup
 graphs are unions of small cliques (diameter ≤ ~2), so 2-3 rounds in
-practice; ``max_rounds`` bounds pathological chains.
+practice; hitting ``max_rounds`` without a fixpoint raises (silently
+returning non-minimal labels would under-deduplicate downstream).
 
-Everything that shuffles is 2-3 int64 columns; the driver holds only the
-per-round changed-label count (one int).  The label table is carried as a
-Dataset between rounds — at 10^12 edges each round is one narrow
-exchange, the same shape as a combiner-backed aggregation.
+Everything that shuffles is 2-3 int64 columns; each round costs exactly
+two keyed exchanges (attach neighbor labels, fold minima) — the change
+count rides the fold output as a per-row flag, no extra exchange.  The
+driver holds only that count (one int).  At 10^12 edges each round is
+the same shape as a combiner-backed aggregation.
 """
 
 from __future__ import annotations
@@ -24,7 +26,9 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from crn_meta_validate_ray.stages.common import grouped_map
+from crn_meta_validate_ray.stages.common import as_i64, grouped_map
+
+_EMPTY = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
 
 
 def connected_components(pairs: "rd.Dataset", *, id_a: str = "id_a",
@@ -33,25 +37,20 @@ def connected_components(pairs: "rd.Dataset", *, id_a: str = "id_a",
     """Label each vertex of the undirected pair graph with the minimum
     vertex id reachable from it: output (doc_id, cluster_id), one row per
     vertex that appears in at least one pair.  ``cluster_id == min(id)``
-    within each component, so ``doc_id == cluster_id`` marks the keeper."""
-    edges = pairs.map_batches(
-        lambda t: pa.table({"u": pa.concat_arrays([
-            pa.compute.cast(t[id_a], pa.int64()).combine_chunks()
-            if isinstance(t[id_a], pa.ChunkedArray)
-            else pa.compute.cast(t[id_a], pa.int64()),
-            pa.compute.cast(t[id_b], pa.int64()).combine_chunks()
-            if isinstance(t[id_b], pa.ChunkedArray)
-            else pa.compute.cast(t[id_b], pa.int64())]),
-            "v": pa.concat_arrays([
-                pa.compute.cast(t[id_b], pa.int64()).combine_chunks()
-                if isinstance(t[id_b], pa.ChunkedArray)
-                else pa.compute.cast(t[id_b], pa.int64()),
-                pa.compute.cast(t[id_a], pa.int64()).combine_chunks()
-                if isinstance(t[id_a], pa.ChunkedArray)
-                else pa.compute.cast(t[id_a], pa.int64())])}),
-        batch_format="pyarrow").materialize()
+    within each component, so ``doc_id == cluster_id`` marks the keeper.
 
-    # initial labels: label[x] = x for every vertex (distinct endpoint)
+    Raises ``RuntimeError`` if labels have not reached a fixpoint after
+    ``max_rounds`` propagation rounds (component diameter > max_rounds)."""
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a, b = as_i64(t, id_a), as_i64(t, id_b)
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(_EMPTY.empty_table())
+
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         u = np.unique(df["u"].to_numpy(dtype=np.int64))
         return pd.DataFrame({"u": u, "label": u})
@@ -59,10 +58,11 @@ def connected_components(pairs: "rd.Dataset", *, id_a: str = "id_a",
     labels = grouped_map(edges.select_columns(["u"]), ["u"], init_labels,
                          num_buckets=num_buckets)
 
+    converged = False
     for _ in range(max_rounds):
-        # propagate: for each vertex, min(own label, neighbors' labels).
-        # Exchange 1 keyed by the NEIGHBOR side: attach v's current label
-        # to each (u, v) edge; exchange 2 keyed by u: fold the minimum.
+        # exchange 1 keyed by the NEIGHBOR side: attach v's current label
+        # to each (u, v) edge; the vertex's own (old) label rides along
+        # tagged is_own so exchange 2 can detect changes in-band
         def tag_edges(t: pa.Table) -> pa.Table:
             return pa.table({"key": t["v"], "u": t["u"],
                              "label": pa.array(np.full(t.num_rows, -1,
@@ -78,49 +78,38 @@ def connected_components(pairs: "rd.Dataset", *, id_a: str = "id_a",
         def attach(df: pd.DataFrame) -> pd.DataFrame:
             lab = df[df["u"] < 0][["key", "label"]]
             ed = df[df["u"] >= 0][["key", "u"]]
-            m = ed.merge(lab, on="key")
-            # candidate label for u from each neighbor v, plus v's own row
-            # (keeps every vertex alive even if a round has no edges)
-            own = lab.rename(columns={"key": "u"})[["u", "label"]]
-            return pd.concat([m[["u", "label"]], own], ignore_index=True)
+            m = ed.merge(lab, on="key")[["u", "label"]]
+            m["is_own"] = False
+            # the vertex's own row: keeps it alive and carries the old
+            # label for the in-band change count
+            own = lab.rename(columns={"key": "u"})[["u", "label"]].copy()
+            own["is_own"] = True
+            return pd.concat([m, own], ignore_index=True)
 
         cand = grouped_map(u1, ["key"], attach, num_buckets=num_buckets)
 
         def fold_min(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("u", sort=False)["label"].min().reset_index()
-            g["label"] = g["label"].astype(np.int64)
-            return g
+            g = df.groupby("u", sort=False)
+            out = g["label"].min().reset_index()
+            out["label"] = out["label"].astype(np.int64)
+            old = df[df["is_own"]].set_index("u")["label"]
+            out["changed"] = (out["label"]
+                              != old.reindex(out["u"]).to_numpy()).astype(
+                np.int64)
+            return out
 
         new_labels = grouped_map(cand, ["u"], fold_min,
                                  num_buckets=num_buckets).materialize()
-
-        # fixpoint check: join old/new label tables (narrow, bounded)
-        def tag_old(t: pa.Table) -> pa.Table:
-            return pa.table({"u": t["u"], "label": t["label"],
-                             "is_new": pa.array(np.zeros(t.num_rows,
-                                                         dtype=bool))})
-
-        def tag_new(t: pa.Table) -> pa.Table:
-            return pa.table({"u": t["u"], "label": t["label"],
-                             "is_new": pa.array(np.ones(t.num_rows,
-                                                        dtype=bool))})
-
-        def count_changed(df: pd.DataFrame) -> pd.DataFrame:
-            p = df.pivot_table(index="u", columns="is_new", values="label",
-                               aggfunc="min")
-            if True not in p.columns or False not in p.columns:
-                n = len(p)
-            else:
-                n = int((p[True] != p[False]).sum())
-            return pd.DataFrame({"n_changed": [n]})
-
-        both = labels.map_batches(tag_old, batch_format="pyarrow").union(
-            new_labels.map_batches(tag_new, batch_format="pyarrow"))
-        changed = sum(r["n_changed"] for r in grouped_map(
-            both, ["u"], count_changed, num_buckets=num_buckets).take_all())
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.sum("changed")
+        labels = new_labels.select_columns(["u", "label"])
+        if not changed:
+            converged = True
             break
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds); raise max_rounds")
 
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["u"], "cluster_id": t["label"]}),

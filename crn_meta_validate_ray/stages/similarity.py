@@ -137,14 +137,16 @@ def lsh_ann(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
     """Approximate top-k: queries are routed to their hyperplane bucket and
     compared only against vectors in the same bucket(s).
 
-    ``multiprobe`` is the recall lever: each query additionally probes
-    every bucket within Hamming distance ``multiprobe`` of its own sign
-    pattern (1 → the ``n_planes`` one-bit-flip neighbours — the vectors a
-    single near-boundary hyperplane put on the other side).  Probing costs
-    no extra shuffle: only the query→bucket routing table grows; the
-    dataset side is still bucketed once.  ``multiprobe=0`` is the classic
-    single-probe; per-query results merge across probed buckets before the
-    final top-k cut."""
+    ``multiprobe`` ∈ {0, 1, 2} is the recall lever: each query
+    additionally probes every bucket within that Hamming distance of its
+    own sign pattern (1 → the ``n_planes`` one-bit-flip neighbours — the
+    vectors a single near-boundary hyperplane put on the other side).
+    Probing costs no extra shuffle: only the query→bucket routing table
+    grows; the dataset side is still bucketed once.  ``multiprobe=0`` is
+    the classic single-probe; per-query results merge across probed
+    buckets before the final top-k cut."""
+    if multiprobe not in (0, 1, 2):
+        raise ValueError("multiprobe supports 0, 1 or 2 bit flips")
     queries = np.asarray(queries, dtype=np.float32)
     dim = queries.shape[1]
     stage = _BucketStage(dim, n_planes, seed)

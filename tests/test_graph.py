@@ -53,3 +53,18 @@ def test_components_randomized(ray_session):
     pairs = [(int(a), int(b)) for a, b in rng.integers(0, 60, (120, 2))
              if a != b]
     assert _run(pairs) == _brute(pairs)
+
+
+def test_components_empty_pairs(ray_session):
+    t = pa.table({"id_a": pa.array([], type=pa.int64()),
+                  "id_b": pa.array([], type=pa.int64())})
+    assert connected_components(rd.from_arrow(t)).take_all() == []
+
+
+def test_components_nonconvergence_raises(ray_session):
+    import pytest
+    pairs = [(i, i + 1) for i in range(5)]
+    t = pa.table({"id_a": pa.array([a for a, _ in pairs], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in pairs], type=pa.int64())})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(rd.from_arrow(t), max_rounds=1).take_all()

@@ -95,3 +95,26 @@ def test_grouped_topk_null_key_is_own_group(ray_session):
     nulls = got[got["key"].isna()].sort_values("rk")
     assert nulls["rid"].tolist() == [0, 2]  # top-2 by val desc
     assert got[got["key"] == "a"]["rid"].tolist() == [3]
+
+
+def test_broadcast_lookup_join_empty_dim_yields_nulls(ray_session):
+    fact = pa.table({"k": pa.array([1, 2], type=pa.int64())})
+    dim = pa.table({"dk": pa.array([], type=pa.int64()),
+                    "name": pa.array([], type=pa.string())})
+    out = broadcast_lookup_join(rd.from_arrow(fact), rd.from_arrow(dim),
+                                left_key="k", right_key="dk",
+                                carry_cols=["name"]).to_pandas()
+    assert len(out) == 2 and out["name"].isna().all()
+
+
+def test_broadcast_lookup_join_duplicate_dim_key_raises(ray_session):
+    import pytest
+    import ray
+
+    fact = pa.table({"k": pa.array([7], type=pa.int64())})
+    dim = pa.table({"dk": pa.array([7, 7], type=pa.int64()),
+                    "name": pa.array(["a", "b"])})
+    with pytest.raises(Exception, match="not.*unique|RayTaskError"):
+        broadcast_lookup_join(rd.from_arrow(fact), rd.from_arrow(dim),
+                              left_key="k", right_key="dk",
+                              carry_cols=["name"]).take_all()
