@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q.pricing_summary,
         "top_orders": q.top_orders,
         "top_orders_per_customer": q.top_orders_per_customer,
+        "pivot_events": q.pivot_events,
         "distinct_counts_events": q.distinct_counts_events,
         "csv_roundtrip_events": q.csv_roundtrip_events,
         "revenue_by_nation": q.revenue_by_nation,
@@ -216,6 +217,16 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "pivot_events": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS "view"
+            FROM events GROUP BY day
         """,
         "distinct_counts_events": """
             SELECT 'user_id' AS "column",

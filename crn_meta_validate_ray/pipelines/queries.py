@@ -270,6 +270,43 @@ def top_orders(sf_dir: str):
     return out.map_batches(roundcols, batch_format="pyarrow")
 
 
+def pivot_events(sf_dir: str):
+    """Pivot (wide aggregation reshape): events per (day × event_type)
+    matrix.  The distributed part is a plain two-key combiner groupby; the
+    reshape happens on the already-tiny aggregated stream — never pivot
+    raw rows.  Stable column set (the enum vocabulary + other) so the
+    schema is deterministic."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        # ISO-string day: unambiguous across Arrow/pandas/DuckDB type maps
+        day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"),
+                          format="%Y-%m-%d")
+        et = pc.fill_null(t["event_type"], "other")
+        known = pc.is_in(et, value_set=pa.array(
+            EVENT_VOCAB + ["signup", "error"]))
+        et = pc.if_else(known, et, pa.scalar("other", pa.string()))
+        return pa.table({"day": day, "event_type": et})
+
+    import pandas as pd
+
+    agg = ds.map_batches(derive, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["day", "event_type"]).aggregate(Count(alias_name="n"))
+    df = agg.to_pandas()  # tiny: days × event types
+    wide = df.pivot_table(index="day", columns="event_type", values="n",
+                          aggfunc="sum", fill_value=0).reset_index()
+    for c in EVENT_VOCAB + ["signup", "error"]:
+        if c not in wide.columns:
+            wide[c] = 0
+    cols = ["day"] + sorted(EVENT_VOCAB + ["signup", "error"])
+    out = wide[cols].copy()
+    for c in cols[1:]:
+        out[c] = out[c].astype("int64")
+    out["day"] = out["day"].astype(str)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def distinct_counts_events(sf_dir: str):
     """Exact distinct counts done scale-shaped: per-batch unique values
     (the combiner) then a distributed drop-duplicates per column — only
