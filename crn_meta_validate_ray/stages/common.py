@@ -58,40 +58,118 @@ def as_i64(t: pa.Table, col: str) -> pa.Array:
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche mixing of an int64 vector."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h += np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _hash_column(col) -> np.ndarray:
+    """Vectorized uint64 hash of one Arrow column (no per-row Python).
+
+    Strings/binary are dictionary-encoded first so only the (small) set of
+    distinct values is object-hashed — conv_ids repeat ~turns-per-conv
+    times, so this hashes thousands of strings instead of millions.
+    Numerics hash via splitmix64 on their bit pattern."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    typ = col.type
+    null_h = np.uint64(0x7F4A7C15F39CC060)
+    if pa.types.is_dictionary(typ):
+        dict_h = pd.util.hash_array(
+            np.asarray(col.dictionary, dtype=object)).astype(np.uint64)
+        idx = col.indices
+        codes = np.asarray(pc.fill_null(idx, -1) if idx.null_count
+                           else idx).astype(np.int64)
+        if codes.size and codes.min() < 0:
+            out = np.where(codes < 0, null_h,
+                           dict_h[np.maximum(codes, 0)]
+                           if len(dict_h) else null_h)
+        else:
+            out = dict_h[codes] if len(dict_h) else \
+                np.empty(0, dtype=np.uint64)
+        return out
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
+            or pa.types.is_binary(typ) or pa.types.is_large_binary(typ) \
+            or pa.types.is_fixed_size_binary(typ):
+        return _hash_column(pc.dictionary_encode(col))
+    if pa.types.is_floating(typ):
+        v = np.asarray(pc.fill_null(col, 0.0), dtype=np.float64)
+        bits = v.view(np.uint64)
+    else:
+        try:
+            v = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            # non-integral exotic type: hash its string form
+            return _hash_column(pc.cast(col, pa.string()))
+        bits = v.view(np.uint64)
+    out = _mix64(bits)
+    if col.null_count:
+        out = np.where(np.asarray(pc.is_null(col)), null_h, out)
+    return out
+
+
 def hash_bucket_column(t: pa.Table, keys: list[str],
                        num_buckets: int) -> pa.Array:
     """Vectorized hash of the key columns → int32 bucket id."""
-    parts = []
-    for k in keys:
-        col = t[k]
-        s = pc.fill_null(pc.cast(col, pa.string()), "\x00null")
-        parts.append(s)
-    joined = parts[0] if len(parts) == 1 else \
-        pc.binary_join_element_wise(*parts, pa.scalar("\x1f"))
-    if isinstance(joined, pa.ChunkedArray):
-        joined = joined.combine_chunks()
-    h = pd.util.hash_array(np.asarray(joined, dtype=object)) % num_buckets
-    return pa.array(h.astype(np.int32))
+    h = _hash_column(t[keys[0]])
+    for k in keys[1:]:
+        with np.errstate(over="ignore"):
+            h = _mix64(h * np.uint64(0x100000001B3) ^ _hash_column(t[k]))
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
-def _split_block(keys: list[str], num_buckets: int, *tbls) -> list[pa.Table]:
+def _split_block(keys: list[str], num_buckets: int, *tbls,
+                 ship_columns: list[str] | None = None,
+                 encode_columns: list[str] | None = None) -> list[pa.Table]:
     """Map side of the exchange: partition a chunk of blocks into per-bucket
     sub-tables with a single argsort + slice (no per-bucket filter scans).
     Several input blocks are coalesced per task so the exchange creates
     O(split_tasks × buckets) objects, not O(blocks × buckets) — per-object
-    store overhead, not bytes, dominates at small block sizes."""
+    store overhead, not bytes, dominates at small block sizes.
+
+    ``ship_columns`` restricts the columns that travel through the exchange
+    (a hash key derivable from a shipped column — e.g. a salt bucket — is
+    hashed here but recomputed reduce-side instead of shipped).
+
+    ``encode_columns`` dictionary-encodes those columns per bucket PART,
+    after slicing — repeated keys (one group id per row) ship as int32
+    codes plus a compact per-part dictionary.  Encoding must happen
+    post-slice: encoding before ``take`` would pin every part to the full
+    chunk dictionary and ship it ``num_buckets`` times over."""
     good = [t for t in tbls
             if t.num_rows and all(k in t.column_names for k in keys)]
     if not good:
         return [None] * num_buckets
     tbl = good[0] if len(good) == 1 else pa.concat_tables(good)
     hb = np.asarray(hash_bucket_column(tbl, keys, num_buckets))
+    if ship_columns is not None:
+        tbl = tbl.select(ship_columns)
     order = np.argsort(hb, kind="stable")
     sorted_hb = hb[order]
     taken = tbl.take(pa.array(order))
     bounds = np.searchsorted(sorted_hb, np.arange(num_buckets + 1))
-    return [taken.slice(bounds[b], bounds[b + 1] - bounds[b])
-            for b in range(num_buckets)]
+    parts = [taken.slice(bounds[b], bounds[b + 1] - bounds[b])
+             for b in range(num_buckets)]
+    for col in encode_columns or []:
+        ci = parts[0].column_names.index(col) if parts else -1
+        enc = []
+        for p in parts:
+            arr = p[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not pa.types.is_dictionary(arr.type):
+                arr = pc.dictionary_encode(arr)
+            enc.append(p.set_column(ci, col, arr))
+        parts = enc
+    return parts
 
 
 def _reduce_bucket(bucket_fn, batch_format: str, empty_block: pa.Table,
@@ -114,6 +192,8 @@ def grouped_map(
     num_buckets: int | None = DEFAULT_NUM_BUCKETS,
     batch_format: str = "pandas",
     engine: str = "core",
+    ship_columns: list[str] | None = None,
+    encode_columns: list[str] | None = None,
 ) -> "rd.Dataset":
     """Apply ``bucket_fn`` to each hash bucket of ``keys``.  ``bucket_fn``
     receives one DataFrame (or Arrow table) holding every row of its keys
@@ -163,13 +243,19 @@ def grouped_map(
             break
     if empty_in is None:
         empty_in = ray.get(block_refs[0]).slice(0, 0)
+    if ship_columns is not None \
+            and all(c in empty_in.column_names for c in ship_columns):
+        empty_in = empty_in.select(ship_columns)
     empty_ref = ray.put(empty_in)
     # coalesce blocks so the object count is O(split_tasks × buckets)
     n_split = max(1, min(len(block_refs), num_buckets))
     chunk = -(-len(block_refs) // n_split)
     chunks = [block_refs[i:i + chunk]
               for i in range(0, len(block_refs), chunk)]
-    per_chunk = [split_task.remote(keys, num_buckets, *c) for c in chunks]
+    per_chunk = [split_task.remote(keys, num_buckets, *c,
+                                   ship_columns=ship_columns,
+                                   encode_columns=encode_columns)
+                 for c in chunks]
     if num_buckets == 1:
         per_chunk = [[r] for r in per_chunk]
     out_refs = [

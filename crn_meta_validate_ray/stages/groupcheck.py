@@ -46,23 +46,43 @@ from crn_meta_validate_ray.state.sketches import TDigest
 _MAX_DUPS_PER_BUCKET = 10_000  # bound dup-detail rows per physical bucket
 
 
-def _bucket_partials(ts_enabled: bool):
+def _bucket_partials(ts_enabled: bool, salt_every: int = 65536):
     """Stage A: all rows of each (group, salt_bucket) → one partial row,
     plus dup-detail rows and one gap-digest row per physical bucket.
 
-    Fully vectorized: one lexsort on integer codes, then group boundaries
-    via change-flags and per-group reductions via ``np.bincount`` — no
-    pandas groupby over (many) string keys in the hot path."""
+    Fully vectorized: one composite-key argsort on integer codes, then
+    group boundaries via change-flags and per-group reductions via
+    ``np.bincount`` — no pandas groupby over (many) string keys in the hot
+    path.  The salt bucket is *recomputed* from the index here (cheaper
+    than shipping it through the exchange), and the group column arrives
+    dictionary-encoded so no per-row string is ever hashed reduce-side."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return _empty_partials()
-        grp = df["__grp"].to_numpy()
-        # integer codes for the group strings (factorize = one hash pass)
-        codes, uniques = pd.factorize(grp, sort=False)
-        bkt = df["__bkt"].to_numpy()
+        s = df["__grp"]
+        if isinstance(s.dtype, pd.CategoricalDtype):
+            # dictionary-encoded through the exchange: codes are free
+            codes = s.cat.codes.to_numpy().astype(np.int64, copy=False)
+            uniques = np.asarray(s.cat.categories, dtype=object)
+        else:
+            codes, uniques = pd.factorize(s.to_numpy(), sort=False)
+            codes = codes.astype(np.int64, copy=False)
+            uniques = np.asarray(uniques, dtype=object)
         idx = df["__idx"].to_numpy()
-        order = np.lexsort((idx, bkt, codes))
+        bkt = np.floor_divide(idx, salt_every)
+        # single argsort on a (code, index) composite — the salt bucket is
+        # monotone in the index, so (code, idx) order ⇒ (code, bkt, idx)
+        # order.  NaN groups (code -1) sort last instead of first; group
+        # reductions are position-independent, so that is immaterial.
+        mn_i = int(idx.min()) if len(idx) else 0
+        span = int(idx.max()) - mn_i if len(idx) else 0
+        if len(uniques) < 2**31 and span < 2**32:
+            key = (codes.astype(np.uint64) << np.uint64(32)) \
+                | (idx - mn_i).astype(np.uint64)
+            order = np.argsort(key)
+        else:
+            order = np.lexsort((idx, bkt, codes))
         c, b, i = codes[order], bkt[order], idx[order]
         n_rows = len(c)
 
@@ -141,6 +161,94 @@ def _empty_partials() -> pd.DataFrame:
     })
 
 
+def _stage_a_reduce(fn, empty: pa.Table, *parts):
+    """Ray task (num_returns=2): concat bucket parts → (ship, kept)."""
+    parts = [p for p in parts if p is not None and p.num_rows]
+    t = pa.concat_tables(parts) if parts else empty
+    ship_df, kept_df = fn(t.to_pandas())
+    return (pa.Table.from_pandas(ship_df, preserve_index=False),
+            pa.Table.from_pandas(kept_df, preserve_index=False))
+
+
+def _extract_groups(grps: list, kept: pa.Table):
+    """Ray task: re-extract the kept partials of groups that turned out to
+    span salt buckets (broadcast membership filter; `grps` is tiny)."""
+    if kept is None or not kept.num_rows:
+        return None
+    mask = pc.is_in(kept["grp"],
+                    value_set=pa.array(grps, type=pa.string()))
+    return kept.filter(mask)
+
+
+def _stage_a(ts_enabled: bool, salt_every: int, start: int,
+             require_contiguity: bool,
+             gap_expectation: tuple | None,
+             size_metric_enabled: bool):
+    """Exchange reduce with LOCAL finalization: the full per-(group,
+    salt_bucket) partials are computed, then every single-bucket group
+    whose verdict is decidable here (the overwhelming majority — a group
+    spans salt buckets only past ``salt_every`` turns) is finalized
+    in-place: its gap-outlier check runs locally and its size joins a
+    local t-digest partial.  Only the rows the merge genuinely needs ship
+    onward: imperfect / multi-bucket partials, dup details and digest
+    partials — thousands of rows instead of one per group, so the second
+    exchange degenerates to a driver-side fold.
+
+    Returns ``fn(df) -> (ship_df, kept_df)``; ``kept_df`` (the finalized
+    single-bucket partials) stays in the object store and is re-read only
+    for groups that turn out to span buckets elsewhere."""
+    partials_fn = _bucket_partials(ts_enabled, salt_every)
+
+    def fn(df: pd.DataFrame):
+        out = partials_fn(df)
+        if out.empty:
+            return out, _empty_partials()
+        p_mask = out["kind"].to_numpy() == "p"
+        perfect = p_mask & (out["bkt"].to_numpy() == 0)
+        if require_contiguity:
+            perfect &= (out["mn"].to_numpy() == start) \
+                & (out["nd"].to_numpy()
+                   == out["mx"].to_numpy() - start + 1)
+        kept = out[perfect]
+        ship = out[~perfect]
+        frames = [ship]
+        if len(kept):
+            n = kept["n"].to_numpy()
+            if ts_enabled and gap_expectation is not None:
+                expected, tol = gap_expectation
+                multi = n > 1
+                mean_gap = (kept["last_ts"].to_numpy()[multi]
+                            - kept["first_ts"].to_numpy()[multi]) / 1e6 \
+                    / (n[multi] - 1)
+                denom = abs(expected) if expected else 1.0
+                bad = np.abs(mean_gap - expected) / denom > tol
+                if bad.any():
+                    frames.append(pd.DataFrame({
+                        "kind": "o",
+                        "grp": kept["grp"].to_numpy()[multi][bad],
+                        "bkt": np.int64(0), "n": np.int64(0),
+                        "nd": np.int64(0), "mn": np.int64(0),
+                        "mx": np.int64(0), "first_ts": np.int64(0),
+                        "last_ts": np.int64(0), "idx": np.int64(0),
+                        "cnt": np.int64(0), "payload": b"",
+                        "weight": mean_gap[bad],
+                    }))
+            if size_metric_enabled:
+                td = TDigest()
+                td.update(n.astype(np.float64))
+                frames.append(pd.DataFrame([{
+                    "kind": "s", "grp": "", "bkt": 0, "n": 0, "nd": 0,
+                    "mn": 0, "mx": 0, "first_ts": 0, "last_ts": 0,
+                    "idx": 0, "cnt": 0, "payload": td.to_bytes(),
+                    "weight": float(n.sum()),
+                }]))
+        ship_df = pd.concat(frames, ignore_index=True) \
+            if len(frames) > 1 else ship.reset_index(drop=True)
+        return ship_df, kept.reset_index(drop=True)
+
+    return fn
+
+
 def _merge_stage(start: int, ts_enabled: bool, size_metric_enabled: bool,
                  gap_expectation: tuple | None = None):
     """Stage B: merge per-(group, salt_bucket) partials per group —
@@ -172,14 +280,6 @@ def _merge_stage(start: int, ts_enabled: bool, size_metric_enabled: bool,
                               + " max=" + bad["mx"].astype(str)),
                     "idx": 0, "payload": b"", "weight": 0.0,
                 }))
-            if size_metric_enabled:
-                td = TDigest()
-                td.update(agg["n"].to_numpy(dtype=np.float64))
-                frames.append(pd.DataFrame([{
-                    "ftype": "size_digest", "grp": "", "value": "",
-                    "idx": 0, "payload": td.to_bytes(),
-                    "weight": float(agg["n"].sum()),
-                }]))
             if ts_enabled and gap_expectation is not None:
                 expected, tol = gap_expectation
                 span = p.groupby("grp", sort=False).agg(
@@ -199,6 +299,38 @@ def _merge_stage(start: int, ts_enabled: bool, size_metric_enabled: bool,
                                   + f" expected~{expected:g}"),
                         "idx": 0, "payload": b"", "weight": 0.0,
                     }))
+        if size_metric_enabled:
+            # sizes of the merge's own groups + the stage-A digest partials
+            # over locally-finalized groups (kind='s')
+            td = TDigest()
+            total_w = 0.0
+            if len(p):
+                agg_n = p.groupby("grp", sort=False)["n"].sum()
+                td.update(agg_n.to_numpy(dtype=np.float64))
+                total_w += float(agg_n.sum())
+            s = df[df["kind"] == "s"]
+            for raw, w in zip(s["payload"], s["weight"]):
+                if raw:
+                    td.merge(TDigest.from_bytes(raw))
+                    total_w += float(w)
+            if len(p) or len(s):
+                frames.append(pd.DataFrame([{
+                    "ftype": "size_digest", "grp": "", "value": "",
+                    "idx": 0, "payload": td.to_bytes(),
+                    "weight": total_w,
+                }]))
+        o = df[df["kind"] == "o"]
+        if len(o):
+            # gap outliers finalized in stage A (weight carries the mean
+            # gap); formatted identically to the merge-side path above
+            expected = gap_expectation[0] if gap_expectation else 0.0
+            frames.append(pd.DataFrame({
+                "ftype": "gap_outlier", "grp": o["grp"],
+                "value": ("mean_gap_s="
+                          + o["weight"].round(3).astype(str)
+                          + f" expected~{expected:g}"),
+                "idx": 0, "payload": b"", "weight": 0.0,
+            }))
         d = df[df["kind"] == "d"]
         if len(d):
             frames.append(pd.DataFrame({
@@ -354,11 +486,9 @@ def group_check_findings(
             out["__ts"] = t[ts_col]
         return pa.table(out)
 
+    ship = ["__grp", "__idx"] + (["__ts"] if ts_col else [])
     prepped = narrow.map_batches(prep, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    partials = grouped_map(prepped, ["__grp", "__bkt"],
-                           _bucket_partials(bool(ts_col)),
-                           num_buckets=num_buckets)
     gap_expectation = None
     if gap_rules and gap_rules[0].expected_quantiles \
             and gap_rules[0].group_tolerance is not None:
@@ -367,22 +497,72 @@ def group_check_findings(
         if med is not None:
             gap_expectation = (float(med),
                                float(gap_rules[0].group_tolerance))
-    merge_fn = _merge_stage(seq.start if seq else 0, bool(ts_col),
-                            bool(size_rules), gap_expectation)
+    start = seq.start if seq else 0
+    stage_a = _stage_a(bool(ts_col), salt_every, start,
+                       require_contiguity=seq is not None,
+                       gap_expectation=gap_expectation,
+                       size_metric_enabled=bool(size_rules))
+    merge_fn = _merge_stage(start, bool(ts_col), bool(size_rules),
+                            gap_expectation)
     conv = _ToFindings(
         rules.table, seq, uniq,
         gap_rules[0].constraint_id if gap_rules else None,
         size_rules[0].constraint_id if size_rules else None)
 
-    # one partial row per (group, salt_bucket) — usually ≈ #groups, tiny
-    # relative to the input.  Below the threshold, merge on the driver in
-    # one vectorized pass and skip a whole second sort barrier; above it
-    # (e.g. 10^10 conversations) fall back to the distributed merge.
-    part_mat = partials.materialize()
-    if part_mat.count() <= driver_merge_max_rows:
-        df = part_mat.to_pandas()
-        merged_tbl = pa.Table.from_pandas(merge_fn(df), preserve_index=False)
+    # Exchange with local finalization (see _stage_a): __bkt is hashed for
+    # co-location but NOT shipped (the reduce recomputes it from __idx);
+    # the group id ships dictionary-encoded per bucket part (int32 codes +
+    # compact dictionary) which the reduce reuses as ready-made factorize
+    # codes.  Each reduce returns (ship, kept): kept = finalized
+    # single-bucket partials that stay in the object store; ship = the few
+    # rows the merge needs.  Groups that turn out to span salt buckets
+    # (ship rows with bkt != 0) get their kept partials re-extracted by a
+    # broadcast-membership filter — exact, and the merge input stays tiny.
+    import ray
+
+    from crn_meta_validate_ray.stages.common import (_split_block,
+                                                     resolve_num_buckets)
+    nb = resolve_num_buckets(num_buckets)
+    block_refs = prepped.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(conv(
+            pa.Table.from_pandas(merge_fn(_empty_partials()),
+                                 preserve_index=False)))
+    split_task = ray.remote(num_returns=nb)(_split_block)
+    reduce_task = ray.remote(num_returns=2)(_stage_a_reduce)
+    empty_ref = ray.put(ray.get(block_refs[0]).slice(0, 0).select(ship))
+    n_split = max(1, min(len(block_refs), nb))
+    chunk = -(-len(block_refs) // n_split)
+    chunks = [block_refs[i:i + chunk]
+              for i in range(0, len(block_refs), chunk)]
+    per_chunk = [split_task.remote(["__grp", "__bkt"], nb, *c,
+                                   ship_columns=ship,
+                                   encode_columns=["__grp"])
+                 for c in chunks]
+    if nb == 1:
+        per_chunk = [[r] for r in per_chunk]
+    pairs = [reduce_task.remote(stage_a, empty_ref,
+                                *[p[b] for p in per_chunk])
+             for b in range(nb)]
+    ship_tbls = ray.get([p[0] for p in pairs])
+    frames = [t.to_pandas() for t in ship_tbls if t.num_rows]
+    shipped = pd.concat(frames, ignore_index=True) if frames \
+        else _empty_partials()
+    spanning = shipped.loc[(shipped["kind"] == "p")
+                           & (shipped["bkt"] != 0), "grp"].unique()
+    if len(spanning):
+        extract = ray.remote(_extract_groups)
+        extra = ray.get([extract.remote(list(spanning), p[1])
+                         for p in pairs])
+        shipped = pd.concat([shipped] + [t.to_pandas() for t in extra
+                                         if t is not None and t.num_rows],
+                            ignore_index=True)
+    if len(shipped) <= driver_merge_max_rows:
+        merged_tbl = pa.Table.from_pandas(merge_fn(shipped),
+                                          preserve_index=False)
         return rd.from_arrow(conv(merged_tbl))
-    merged = grouped_map(part_mat, ["grp"], merge_fn,
-                         num_buckets=None)
+    # degenerate corpus (≈ every group violating): distributed merge
+    part = rd.from_arrow(pa.Table.from_pandas(shipped,
+                                              preserve_index=False))
+    merged = grouped_map(part, ["grp"], merge_fn, num_buckets=None)
     return merged.map_batches(conv, batch_format="pyarrow")

@@ -147,8 +147,11 @@ class TDigest:
         if not len(values):
             return
         w = np.ones(len(values)) if weights is None else np.asarray(weights, float)
-        self.means = np.concatenate([self.means, values])
-        self.weights = np.concatenate([self.weights, w])
+        if len(self.means):
+            self.means = np.concatenate([self.means, values])
+            self.weights = np.concatenate([self.weights, w])
+        else:
+            self.means, self.weights = values, w
         if len(self.means) > 8 * self.max_centroids:
             self._compress()
 
@@ -162,16 +165,38 @@ class TDigest:
     def _compress(self):
         if len(self.means) <= self.max_centroids:
             return
-        order = np.argsort(self.means, kind="stable")
-        m, w = self.means[order], self.weights[order]
-        total = w.sum()
-        # scale function: uniform weight buckets with tighter tails
-        cum = np.cumsum(w) - w / 2
-        q = cum / total
-        k = (np.arcsin(2 * q - 1) / np.pi + 0.5) * self.max_centroids
-        bucket = np.minimum(k.astype(np.int64), self.max_centroids - 1)
-        sums = np.bincount(bucket, weights=m * w, minlength=self.max_centroids)
-        ws = np.bincount(bucket, weights=w, minlength=self.max_centroids)
+        n = len(self.means)
+        C = self.max_centroids
+        # scale function: uniform weight buckets with tighter tails —
+        # bucket(q) = floor((arcsin(2q-1)/pi + 1/2) * C).  Rather than an
+        # arcsin per ELEMENT, invert the (monotonic) scale at the C-1
+        # bucket boundaries; cumulative weight is sorted, so buckets are
+        # contiguous runs — O(C) transcendentals + segment sums, and the
+        # (common) unit-weight case needs no argsort/take at all
+        j = np.arange(1, C)
+        q_bound = (np.sin(np.pi * (j / C - 0.5)) + 1) / 2
+        if self.weights.size and self.weights[0] == 1.0 \
+                and np.all(self.weights == 1.0):
+            m = np.sort(self.means)
+            # row i has cumulative weight i + 0.5
+            split = np.clip(np.ceil(q_bound * n - 0.5).astype(np.int64),
+                            0, n)
+            seg = np.concatenate([[0], split, [n]])
+            cs = np.concatenate([[0.0], np.cumsum(m)])
+            sums = cs[seg[1:]] - cs[seg[:-1]]
+            ws = np.diff(seg).astype(np.float64)
+        else:
+            order = np.argsort(self.means, kind="stable")
+            m, w = self.means[order], self.weights[order]
+            cum = np.cumsum(w)
+            total = cum[-1]
+            split = np.searchsorted(cum - w / 2, q_bound * total,
+                                    side="left")
+            seg = np.concatenate([[0], split, [n]])
+            cs = np.concatenate([[0.0], np.cumsum(m * w)])
+            cw = np.concatenate([[0.0], cum])
+            sums = cs[seg[1:]] - cs[seg[:-1]]
+            ws = cw[seg[1:]] - cw[seg[:-1]]
         keep = ws > 0
         self.means = sums[keep] / ws[keep]
         self.weights = ws[keep]
