@@ -69,20 +69,60 @@ def sketch_findings(ds: "rd.Dataset", rules: TableRules, *,
         concurrency=concurrency, zero_copy_batch=True)
 
 
-def _build_sorted_ref_keys(path, column: str):
-    """Ray task: distinct target keys as a sorted numpy unicode array
-    (stages/refcheck.sorted_key_array) — off the driver's critical path."""
+def _ref_key_shards(path, max_shards: int = 32):
+    """Split the target table into (file, row_group_indices) shards so the
+    distinct-key build parallelizes: one shard per file when the table is
+    multi-file, contiguous row-group ranges when it is a single file.  At
+    100 TB the target is thousands of files — a single-task read of the
+    whole table (the previous shape) is a serial wall."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    files = sorted(pads.dataset(path, format="parquet").files)
+    if len(files) != 1:
+        return [(f, None) for f in files]
+    f = files[0]
+    n = pq.ParquetFile(f).metadata.num_row_groups
+    k = max(1, min(n, max_shards))
+    bounds = np.linspace(0, n, k + 1).astype(int)
+    return [(f, list(range(a, b)))
+            for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+
+def _shard_distinct_keys(path, row_groups, column: str):
+    """Ray task: distinct keys of ONE shard as a sorted numpy unicode
+    array (stages/refcheck.sorted_key_array) — runs in parallel across
+    shards, off the driver's critical path."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from crn_meta_validate_ray.stages.refcheck import sorted_key_array
 
-    t = pq.read_table(path, columns=[column])
+    if row_groups is None:
+        t = pq.read_table(path, columns=[column])
+    else:
+        t = pq.ParquetFile(path).read_row_groups(row_groups,
+                                                 columns=[column])
     col = pc.cast(t[column], pa.string())
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return sorted_key_array(pc.unique(col))
+
+
+def _merge_sorted_keys(*parts):
+    """Ray task: fold sorted distinct shard partials into one sorted
+    distinct array.  Input size is distinct-per-shard, not rows, so the
+    merge stays small even when the target table is huge."""
+    import numpy as np
+
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return np.array([], dtype=str)
+    if len(parts) == 1:
+        return parts[0]
+    return np.unique(np.concatenate(parts))
 
 
 def validate_transcripts(
@@ -145,15 +185,17 @@ def validate_transcripts(
             ref_mode == "auto"
             and convs.count() <= 2_000_000)
         if use_broadcast:
-            # the sorted key build (read + unique + sort, ~2.5 s serial at
-            # 1.7M keys) runs as a Ray task OVERLAPPING the fused pass —
-            # workers block on the ObjectRef only until it resolves;
-            # workers then do searchsorted membership instead of
-            # rebuilding an is_in value-set index per batch
-            build = ray.remote(num_cpus=1)(_build_sorted_ref_keys)
-            ref_rules_keys.append(
-                (ref_col, build.remote(conversations_path,
-                                       ref_col.target_column)))
+            # the sorted key build runs as Ray tasks OVERLAPPING the fused
+            # pass — one distinct-keys task per shard of the target table
+            # (file / row-group ranges) plus a small merge fold of the
+            # sorted partials; workers block on the merge ObjectRef only
+            # until it resolves, then do searchsorted membership instead
+            # of rebuilding an is_in value-set index per batch
+            shard = ray.remote(num_cpus=1)(_shard_distinct_keys)
+            merge = ray.remote(num_cpus=1)(_merge_sorted_keys)
+            parts = [shard.remote(f, rgs, ref_col.target_column)
+                     for f, rgs in _ref_key_shards(conversations_path)]
+            ref_rules_keys.append((ref_col, merge.remote(*parts)))
         else:
             fk_cols = sorted({ref_col.column} | set(rules.locator) & available)
 

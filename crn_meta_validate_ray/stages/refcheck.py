@@ -131,15 +131,30 @@ def referential_findings(
         if mode == "auto":
             use_broadcast = target.count() <= broadcast_max_keys
         if use_broadcast:
-            distinct = pc.unique(
-                pa.concat_arrays([
-                    pa.concat_arrays(
-                        pc.cast(b[rule.target_column], pa.string()).chunks or
-                        [pa.array([], type=pa.string())])
-                    for b in tkeys.iter_batches(batch_size=1 << 20,
-                                                batch_format="pyarrow")
-                ] or [pa.array([], type=pa.string())]))
-            keys_ref = ray.put(sorted_key_array(distinct))
+            # distributed dedupe: per-block unique runs on workers in
+            # parallel; only the (much smaller) distinct partials cross to
+            # the driver for the final sorted merge.  Pulling raw rows with
+            # iter_batches here would serialize the whole target through
+            # the driver.
+            tcol = rule.target_column
+
+            def block_unique(t: pa.Table) -> pa.Table:
+                k = pc.unique(pc.cast(t[tcol], pa.string())
+                              .combine_chunks())
+                return pa.table({"__key": k})
+
+            parts = [
+                np.asarray(b["__key"].combine_chunks().drop_null(),
+                           dtype=str)
+                for b in tkeys.map_batches(
+                    block_unique, batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ]
+            parts = [p for p in parts if p.size]
+            merged = (np.unique(np.concatenate(parts)) if parts
+                      else np.array([], dtype=str))
+            keys_ref = ray.put(merged)
             table_name, locator = rules.table, rules.locator
 
             def anti(batch: pa.Table) -> pa.Table:
