@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_plan": q.media_frame_plan,
         # custom joins beyond as-of
         "range_join_events": q.range_join_events,
+        "order_priority_revenue": q.order_priority_revenue,
+        "customers_without_orders": q.customers_without_orders,
         # windowed / stream-shaped
         "tumbling_events": q.tumbling_events,
         "hopping_events": q.hopping_events,
@@ -486,6 +488,23 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id
+        """,
+        "order_priority_revenue": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
+        """,
+        "customers_without_orders": """
+            SELECT c.c_custkey, c.c_name
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+            ORDER BY c.c_custkey
         """,
         "hopping_events": """
             WITH w AS (

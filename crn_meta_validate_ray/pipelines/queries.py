@@ -1046,3 +1046,57 @@ def ivf_ann_embeddings(sf_dir: str):
     return collect_with_schema(out, pa.schema([
         ("query_idx", pa.int64()), ("rank", pa.int64()),
         ("vec_id", pa.int64()), ("score", pa.float64())]))
+
+
+# ------------------------------------------------------------ shuffle joins
+
+def order_priority_revenue(sf_dir: str):
+    """Large-large shuffle hash join (lineitem ⋈ orders on orderkey) with
+    the per-priority aggregation FUSED into the join buckets via ``post``
+    — wide joined rows never leave the reduce task; only tiny
+    (priority, partial) rows reach the final groupby."""
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+    lineitem = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(_p(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def partial(df):
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return (df.assign(__rev=rev)
+                .groupby("o_orderpriority", sort=False)
+                .agg(revenue=("__rev", "sum"), n_items=("__rev", "size"))
+                .reset_index())
+
+    joined = hash_join(lineitem, orders, left_on="l_orderkey",
+                       right_on="o_orderkey", post=partial)
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_items", alias_name="n_items"))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "revenue": pc.round(t["revenue"], 2),
+                         "n_items": pc.cast(t["n_items"], pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow").sort(
+        "o_orderpriority")
+
+
+def customers_without_orders(sf_dir: str):
+    """Row-level distributed anti-join: customers with no high-value
+    order, both sides shuffled by the hashed key (no broadcast
+    assumption); the filter is pushed before the exchange."""
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+    customer = rd.read_parquet(_p(sf_dir, "customer"),
+                               columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"],
+    ).filter(expr="o_totalprice > 300000").select_columns(["o_custkey"])
+    out = hash_join(customer, orders, left_on="c_custkey",
+                    right_on="o_custkey", how="anti")
+    return collect_with_schema(out.sort("c_custkey"), pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string())]))

@@ -1,0 +1,101 @@
+"""hash_join (large-large shuffle equi-join) vs pandas merge ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+
+def _mk(seed=7, n_left=500, n_right=300):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 120, n_left),
+        "lv": rng.normal(size=n_left).round(3),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 120, n_right),
+        "rv": rng.integers(0, 10, n_right),
+    }).drop_duplicates("rk")  # unique build side, like a dimension table
+    return left, right
+
+
+def _sorted(df):
+    return (df[sorted(df.columns)]
+            .sort_values(sorted(df.columns), kind="stable")
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hash_join_matches_pandas(ray_session, how):
+    left, right = _mk()
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    left_on="k", right_on="rk", how=how,
+                    num_buckets=5).to_pandas()
+    want = left.merge(right, how=how, left_on="k", right_on="rk",
+                      suffixes=("", "_r")).drop(columns=["rk"])
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
+                                  check_dtype=False)
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_hash_join_semi_anti(ray_session, how):
+    left, right = _mk(seed=11)
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    left_on="k", right_on="rk", how=how,
+                    num_buckets=4).to_pandas()
+    mask = left["k"].isin(right["rk"])
+    want = left[mask] if how == "semi" else left[~mask]
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
+                                  check_dtype=False)
+
+
+def test_hash_join_post_fuses_partial_agg(ray_session):
+    left, right = _mk(seed=3)
+
+    def post(df):
+        return (df.groupby("rv", sort=False)
+                .agg(s=("lv", "sum"), n=("lv", "size")).reset_index())
+
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    left_on="k", right_on="rk", post=post,
+                    num_buckets=4).to_pandas()
+    folded = out.groupby("rv").agg(s=("s", "sum"), n=("n", "sum"))
+    want = (left.merge(right, left_on="k", right_on="rk")
+            .groupby("rv").agg(s=("lv", "sum"), n=("lv", "size")))
+    pd.testing.assert_frame_equal(folded.sort_index().round(6),
+                                  want.sort_index().round(6),
+                                  check_dtype=False)
+
+
+def test_hash_join_empty_right(ray_session):
+    left, _ = _mk()
+    empty = pd.DataFrame({"rk": pd.Series([], dtype=np.int64),
+                          "rv": pd.Series([], dtype=np.int64)})
+    anti = hash_join(rd.from_pandas(left), rd.from_pandas(empty),
+                     left_on="k", right_on="rk", how="anti",
+                     num_buckets=3).to_pandas()
+    assert len(anti) == len(left)
+    inner = hash_join(rd.from_pandas(left), rd.from_pandas(empty),
+                      left_on="k", right_on="rk", how="inner",
+                      num_buckets=3)
+    # Ray's to_pandas drops columns on an all-empty dataset; the block
+    # schema is the source of truth
+    assert set(inner.schema().names) == {"k", "lv", "rv"}
+    assert inner.count() == 0
+
+
+def test_hash_join_string_keys(ray_session):
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": [f"u{i}" for i in rng.integers(0, 40, 200)],
+                         "x": np.arange(200)})
+    right = pd.DataFrame({"k": [f"u{i}" for i in range(0, 40, 2)],
+                          "y": np.arange(20)})
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    left_on="k", num_buckets=4).to_pandas()
+    want = left.merge(right, on="k")
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
+                                  check_dtype=False)
