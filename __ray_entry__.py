@@ -591,7 +591,166 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.465
         """,
-        # langid / quality scoring / minhash / simhash / transcript engine:
-        # heuristic or sketch-based — intentionally no SQL oracle
-        # (driver records the rows-only check)
+        # minhash / simhash / lsh-ann / ivf-ann / media: hash- or
+        # sketch-based (recall < 1 by construction) — intentionally no SQL
+        # oracle (driver records the rows-only check)
+        **_transcript_oracles(),
+    }
+
+
+# --------------------------------------------------------------- transcript
+# oracle SQL for the flagship engine queries.  The corpus is deterministic
+# seeded parquet under /tmp (sources/synth.py, no Ray involved), so DuckDB
+# can recompute the full violation stream / verdict from first principles:
+# the SQL re-implements the engine's documented semantics (null
+# normalization, enum/multi-enum/regex accept sets, group contiguity,
+# duplicate keys, referential orphans, per-group ts-gap drift and the
+# report's error/warning counting rules) over the same files.
+
+_TV_NORM_CTE = """
+WITH turns AS (SELECT * FROM read_parquet('@TURNS@')),
+norm AS (
+  SELECT conv_id, turn_idx, ts,
+    conv_id || '|' || CAST(turn_idx AS VARCHAR) AS row_key,
+    CASE WHEN conv_id IS NULL OR regexp_matches(conv_id, '^\\s*$') THEN 'NA'
+         WHEN conv_id IN ('none','None','nan','NaN','NAN','N/A','n/a')
+              THEN 'NA' ELSE conv_id END AS n_conv,
+    CASE WHEN role IS NULL OR regexp_matches(role, '^\\s*$') THEN 'NA'
+         WHEN role IN ('none','None','nan','NaN','NAN','N/A','n/a')
+              THEN 'NA' ELSE role END AS n_role,
+    CASE WHEN text IS NULL OR regexp_matches(text, '^\\s*$') THEN 'NA'
+         WHEN text IN ('none','None','nan','NaN','NAN','N/A','n/a')
+              THEN 'NA' ELSE text END AS n_text,
+    CASE WHEN tool IS NULL OR regexp_matches(tool, '^\\s*$') THEN 'NA'
+         WHEN tool IN ('none','None','nan','NaN','NAN','N/A','n/a')
+              THEN 'NA' ELSE tool END AS n_tool
+  FROM turns)
+"""
+
+# engine accept-set predicates (functions/checks.py):
+#   multi-enum: >=1 non-empty trimmed ';'-token, all tokens in Validation
+_TV_TOOL_BAD = """n_tool NOT IN ('NA','Other')
+    AND NOT (
+      len(list_filter(list_transform(string_split(n_tool, ';'),
+                                     t -> trim(t)), t -> t <> '')) > 0
+      AND len(list_filter(list_transform(string_split(n_tool, ';'),
+                                         t -> trim(t)),
+                          t -> t <> '' AND t NOT IN
+                          ('browser','calculator','code','none','search')))
+          = 0)"""
+
+_TV_VIOLATIONS_SQL = _TV_NORM_CTE + """
+SELECT 'regex:conv_id' AS constraint_id, 'conv_id' AS "column",
+       row_key, n_conv AS value
+  FROM norm WHERE n_conv <> 'NA'
+   AND NOT regexp_full_match(n_conv, 'conv_[0-9]{8}')
+UNION ALL
+SELECT 'enum:role', 'role', row_key, n_role FROM norm
+  WHERE n_role NOT IN ('NA','assistant','system','tool','user')
+UNION ALL
+SELECT 'enum:tool', 'tool', row_key, n_tool FROM norm WHERE """ \
+    + _TV_TOOL_BAD + """
+UNION ALL
+SELECT 'ref:conv_id->conversations.conv_id', 'conv_id', row_key, conv_id
+  FROM norm n WHERE NOT EXISTS (
+      SELECT 1 FROM read_parquet('@CONVS@') c WHERE c.conv_id = n.conv_id)
+UNION ALL
+SELECT 'unique:conv_id,turn_idx', 'conv_id,turn_idx',
+       conv_id || '|' || CAST(turn_idx AS VARCHAR),
+       'count=' || CAST(cnt AS VARCHAR)
+  FROM (SELECT conv_id, turn_idx, count(*) AS cnt FROM turns
+        GROUP BY 1, 2 HAVING count(*) > 1)
+UNION ALL
+SELECT 'seq:turn_idx@conv_id', 'turn_idx', conv_id,
+       'n=' || CAST(n AS VARCHAR) || ' distinct=' || CAST(nd AS VARCHAR)
+            || ' min=' || CAST(mn AS VARCHAR)
+            || ' max=' || CAST(mx AS VARCHAR)
+  FROM (SELECT conv_id, count(*) AS n, count(DISTINCT turn_idx) AS nd,
+               min(turn_idx) AS mn, max(turn_idx) AS mx
+        FROM turns GROUP BY 1)
+  WHERE NOT (mn = 0 AND nd = mx + 1)
+UNION ALL
+SELECT 'drift:ts_gap:ts:group', 'ts', conv_id,
+       'mean_gap_s=' || CAST(round(gap, 3) AS VARCHAR) || ' expected~16'
+  FROM (SELECT conv_id, count(*) AS n,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+                   / (count(*) - 1) AS gap
+        FROM turns GROUP BY 1)
+  WHERE n > 1 AND abs(gap - 16.0) / 16.0 > 10.0
+"""
+
+_TV_VERDICT_SQL = _TV_NORM_CTE + """,
+fam AS (SELECT
+  (SELECT count(*) FROM norm WHERE n_conv <> 'NA'
+     AND NOT regexp_full_match(n_conv, 'conv_[0-9]{8}')) AS c_regex,
+  (SELECT count(*) FROM norm
+     WHERE n_role NOT IN ('NA','assistant','system','tool','user'))
+      AS c_role,
+  (SELECT count(*) FROM norm WHERE """ + _TV_TOOL_BAD + """) AS c_tool,
+  (SELECT count(*) FROM norm n WHERE NOT EXISTS (
+     SELECT 1 FROM read_parquet('@CONVS@') c
+     WHERE c.conv_id = n.conv_id)) AS c_ref,
+  (SELECT count(*) FROM (SELECT conv_id, turn_idx FROM turns
+     GROUP BY 1, 2 HAVING count(*) > 1)) AS c_uni,
+  (SELECT count(*) FROM (SELECT conv_id, count(DISTINCT turn_idx) nd,
+     min(turn_idx) mn, max(turn_idx) mx FROM turns GROUP BY 1)
+     WHERE NOT (mn = 0 AND nd = mx + 1)) AS c_seq,
+  (SELECT count(*) FROM (SELECT conv_id, count(*) n,
+     (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+         / (count(*) - 1) gap
+     FROM turns GROUP BY 1)
+     WHERE n > 1 AND abs(gap - 16.0) / 16.0 > 10.0) AS c_drift,
+  (SELECT count(*) FROM norm WHERE n_conv = 'NA') AS z_conv,
+  (SELECT count(*) FROM norm WHERE n_role = 'NA') AS z_role,
+  (SELECT count(*) FROM norm WHERE n_text = 'NA') AS z_text,
+  (SELECT count(*) FROM norm WHERE n_tool = 'NA') AS z_tool,
+  (SELECT count(*) FROM turns) AS n_rows)
+SELECT '@E@' AS metric, CAST(
+    (CASE WHEN c_regex > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN c_role  > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN c_uni   > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN c_seq   > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN c_ref   > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM fam
+UNION ALL SELECT '@W@', CAST(
+    (CASE WHEN z_conv > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN z_role > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN z_text > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN z_tool > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN c_tool > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN c_drift > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM fam
+UNION ALL SELECT 'n_rows', CAST(n_rows AS DOUBLE) FROM fam
+UNION ALL SELECT 'violations:drift:ts_gap:ts:group',
+                 CAST(c_drift AS DOUBLE) FROM fam
+UNION ALL SELECT 'violations:enum:role', CAST(c_role AS DOUBLE) FROM fam
+UNION ALL SELECT 'violations:enum:tool', CAST(c_tool AS DOUBLE) FROM fam
+UNION ALL SELECT 'violations:ref:conv_id->conversations.conv_id',
+                 CAST(c_ref AS DOUBLE) FROM fam
+UNION ALL SELECT 'violations:regex:conv_id',
+                 CAST(c_regex AS DOUBLE) FROM fam
+UNION ALL SELECT 'violations:seq:turn_idx@conv_id',
+                 CAST(c_seq AS DOUBLE) FROM fam
+UNION ALL SELECT 'violations:unique:conv_id,turn_idx',
+                 CAST(c_uni AS DOUBLE) FROM fam
+"""
+
+
+def _transcript_oracles() -> dict[str, str]:
+    """Materialize the deterministic sf0.01 corpus (the driver compares at
+    sf=0.01) and bind its parquet paths into the transcript oracle SQL."""
+    from crn_meta_validate_ray.pipelines.queries import _transcript_corpus
+
+    info = _transcript_corpus("/root/testdata/sf0.01")
+    turns = info["turns_dir"] + "/*.parquet"
+    convs = info["conversations"]
+
+    def bind(sql: str) -> str:
+        return sql.replace("@TURNS@", turns).replace("@CONVS@", convs)
+
+    return {
+        "transcript_violations": bind(_TV_VIOLATIONS_SQL),
+        "transcript_verdict": bind(_TV_VERDICT_SQL)
+            .replace("@E@", "errors").replace("@W@", "warnings"),
+        "transcript_resumable": bind(_TV_VERDICT_SQL)
+            .replace("@E@", "resumed_errors")
+            .replace("@W@", "resumed_warnings"),
     }
