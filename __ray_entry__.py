@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_events": q.running_totals_events,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
+        # distributed scan (prefix sum) + deterministic shuffle
+        "pack_documents": q.pack_documents,
+        "shuffle_documents": q.shuffle_documents,
         # flagship transcript engine (non-SQL: full constraint suite)
         "transcript_violations": q.transcript_violations,
         "transcript_verdict": q.transcript_verdict,
@@ -488,6 +491,29 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id
+        """,
+        "pack_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       length(regexp_extract_all(coalesce(text, ''),
+                                                 '\S+')) AS n_tokens
+                FROM documents
+            ), scan AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS run_sum
+                FROM toks
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((run_sum - n_tokens) / 1024.0) AS BIGINT)
+                       AS bin_id
+            FROM scan
+        """,
+        "shuffle_documents": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents ORDER BY shuffle_key LIMIT 200
         """,
         "order_priority_revenue": """
             SELECT o.o_orderpriority,

@@ -1100,3 +1100,60 @@ def customers_without_orders(sf_dir: str):
                     right_on="o_custkey", how="anti")
     return collect_with_schema(out.sort("c_custkey"), pa.schema([
         ("c_custkey", pa.int64()), ("c_name", pa.string())]))
+
+
+# ------------------------------------------------- scan / shuffle (training)
+
+def pack_documents(sf_dir: str):
+    """Sequence packing for training shards: documents in doc_id order are
+    assigned to fixed 1024-token-budget bins by their running token offset
+    — a distributed two-phase prefix-sum scan (stages/scan.py); the driver
+    folds only per-block totals."""
+    from crn_meta_validate_ray.stages.scan import ordered_prefix_sum
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(token_count(t["text"]), pa.int64()),
+        })
+
+    narrow = ds.map_batches(tok, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    scanned = ordered_prefix_sum(narrow, "doc_id", "n_tokens",
+                                 out_col="run_sum", integer=True)
+
+    def binify(t: pa.Table) -> pa.Table:
+        run = np.asarray(t["run_sum"].combine_chunks()
+                         if isinstance(t["run_sum"], pa.ChunkedArray)
+                         else t["run_sum"])
+        ntok = np.asarray(t["n_tokens"].combine_chunks()
+                          if isinstance(t["n_tokens"], pa.ChunkedArray)
+                          else t["n_tokens"])
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+                         "bin_id": pa.array((run - ntok) // 1024)})
+
+    return scanned.map_batches(binify, batch_format="pyarrow")
+
+
+def shuffle_documents(sf_dir: str):
+    """Deterministic distributed shuffle (the standard sort-by-hash-key
+    shuffle used for training-data randomization): md5(doc_id) ordering,
+    first 200 rows.  md5 is the SQL-parity key; fingerprint64 is the
+    vectorized scale-path key (cf. fingerprint_documents)."""
+    import hashlib
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        ks = [hashlib.md5(str(i).encode()).hexdigest()
+              for i in ids.to_pylist()]
+        return pa.table({"doc_id": ids,
+                         "shuffle_key": pa.array(ks, type=pa.string())})
+
+    out = ds.map_batches(key, batch_format="pyarrow",
+                         zero_copy_batch=True).sort("shuffle_key").limit(200)
+    return collect_with_schema(out, pa.schema([
+        ("doc_id", pa.int64()), ("shuffle_key", pa.string())]))
