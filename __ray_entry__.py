@@ -761,8 +761,11 @@ UNION ALL SELECT 'violations:unique:conv_id,turn_idx',
 
 
 def _transcript_oracles() -> dict[str, str]:
-    """Materialize the deterministic sf0.01 corpus (the driver compares at
-    sf=0.01) and bind its parquet paths into the transcript oracle SQL."""
+    """Materialize the deterministic sf0.01 corpus (the driver contract
+    compares Ray-vs-oracle at sf=0.01 ONLY — these SQL strings are pinned
+    to that corpus; a checker running another sf must use the engine
+    queries' own sf-scaled corpus instead).  Generation is pure
+    numpy/pyarrow (no Ray), cached under /tmp after the first call."""
     from crn_meta_validate_ray.pipelines.queries import _transcript_corpus
 
     info = _transcript_corpus("/root/testdata/sf0.01")

@@ -172,9 +172,41 @@ def _split_block(keys: list[str], num_buckets: int, *tbls,
     return parts
 
 
+def flatten_parts(parts) -> list:
+    """Normalize reduce-task inputs: with ``num_returns=1`` Ray delivers
+    the split task's whole return LIST as one object instead of unpacking
+    it, so single-bucket exchanges see ``[table]`` where multi-bucket ones
+    see ``table``."""
+    out = []
+    for p in parts:
+        if isinstance(p, list):
+            out.extend(p)
+        else:
+            out.append(p)
+    return out
+
+
+def split_exchange(split_task, refs, keys: list[str], num_buckets: int,
+                   **split_kwargs) -> list:
+    """Map side of the exchange, shared by grouped_map and hash_join:
+    coalesce block refs into ~num_buckets chunks and launch one split task
+    per chunk.  Returns per-chunk lists of num_buckets part refs."""
+    if not refs:
+        return []
+    n_split = max(1, min(len(refs), num_buckets))
+    chunk = -(-len(refs) // n_split)
+    chunks = [refs[i:i + chunk] for i in range(0, len(refs), chunk)]
+    per_chunk = [split_task.remote(keys, num_buckets, *c, **split_kwargs)
+                 for c in chunks]
+    if num_buckets == 1:
+        per_chunk = [[r] for r in per_chunk]
+    return per_chunk
+
+
 def _reduce_bucket(bucket_fn, batch_format: str, empty_block: pa.Table,
                    *parts) -> pa.Table:
-    parts = [p for p in parts if p is not None and p.num_rows]
+    parts = [p for p in flatten_parts(parts)
+             if p is not None and p.num_rows]
     t = pa.concat_tables(parts) if parts else empty_block
     if batch_format == "pandas":
         out = bucket_fn(t.to_pandas())
@@ -248,16 +280,9 @@ def grouped_map(
         empty_in = empty_in.select(ship_columns)
     empty_ref = ray.put(empty_in)
     # coalesce blocks so the object count is O(split_tasks × buckets)
-    n_split = max(1, min(len(block_refs), num_buckets))
-    chunk = -(-len(block_refs) // n_split)
-    chunks = [block_refs[i:i + chunk]
-              for i in range(0, len(block_refs), chunk)]
-    per_chunk = [split_task.remote(keys, num_buckets, *c,
-                                   ship_columns=ship_columns,
-                                   encode_columns=encode_columns)
-                 for c in chunks]
-    if num_buckets == 1:
-        per_chunk = [[r] for r in per_chunk]
+    per_chunk = split_exchange(split_task, block_refs, keys, num_buckets,
+                               ship_columns=ship_columns,
+                               encode_columns=encode_columns)
     out_refs = [
         reduce_task.remote(bucket_fn, batch_format, empty_ref,
                            *[pc_[b] for pc_ in per_chunk])

@@ -138,7 +138,7 @@ def referential_findings(
             # the driver.
             tcol = rule.target_column
 
-            def block_unique(t: pa.Table) -> pa.Table:
+            def block_unique(t: pa.Table, *, tcol=tcol) -> pa.Table:
                 k = pc.unique(pc.cast(t[tcol], pa.string())
                               .combine_chunks())
                 return pa.table({"__key": k})
@@ -155,9 +155,13 @@ def referential_findings(
             merged = (np.unique(np.concatenate(parts)) if parts
                       else np.array([], dtype=str))
             keys_ref = ray.put(merged)
-            table_name, locator = rules.table, rules.locator
 
-            def anti(batch: pa.Table) -> pa.Table:
+            # loop variables bound as defaults: map_batches is LAZY, so a
+            # plain closure over `rule`/`keys_ref` would evaluate every
+            # RefRule with the last iteration's bindings
+            def anti(batch: pa.Table, *, rule=rule, keys_ref=keys_ref,
+                     table_name=rules.table, locator=rules.locator
+                     ) -> pa.Table:
                 # stateless task: ray.get of a local object is ~free after
                 # the first call on each worker (no actor-pool startup);
                 # the sorted key array was built once on the driver

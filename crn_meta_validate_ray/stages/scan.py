@@ -28,27 +28,32 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def _block_cumsum(value_col: str, t: pa.Table):
-    if value_col not in t.column_names or t.num_rows == 0:
-        # empty (schema-less) blocks from sorting an empty dataset
-        return np.zeros(t.num_rows, dtype=np.float64), 0.0
+def _values(value_col: str, t: pa.Table) -> np.ndarray:
     col = t[value_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    v = np.asarray(col, dtype=np.float64)
-    c = np.cumsum(v)
-    total = float(c[-1]) if len(c) else 0.0
-    return c, total
+    return np.asarray(col, dtype=np.float64)
+
+
+def _block_total(value_col: str, t: pa.Table) -> float:
+    if t.num_rows == 0:
+        # sorting an empty dataset yields schema-less empty blocks
+        return 0.0
+    return float(np.sum(_values(value_col, t)))
 
 
 def _with_offset(value_col: str, out_col: str, integer: bool, offset: float,
                  t: pa.Table) -> pa.Table:
-    if value_col not in t.column_names or t.num_rows == 0:
+    if t.num_rows == 0:
         typ = pa.int64() if integer else pa.float64()
-        return t.append_column(out_col, pa.array([], type=typ)) \
-            if t.num_rows == 0 else t
-    c, _ = _block_cumsum(value_col, t)
-    run = c + offset
+        return t.append_column(out_col, pa.array([], type=typ))
+    # a NON-empty block missing the column is schema drift across input
+    # files — fail here, at the cause, not in a downstream consumer
+    if value_col not in t.column_names:
+        raise KeyError(f"ordered_prefix_sum: column {value_col!r} missing "
+                       f"from a {t.num_rows}-row block "
+                       f"(have {t.column_names})")
+    run = np.cumsum(_values(value_col, t)) + offset
     arr = pa.array(np.rint(run).astype(np.int64)) if integer \
         else pa.array(run)
     return t.append_column(out_col, arr)
@@ -72,9 +77,8 @@ def ordered_prefix_sum(
     if not refs:
         return sorted_ds
 
-    sum_task = ray.remote(num_cpus=1)(
-        lambda t: _block_cumsum(value_col, t)[1])
-    totals = ray.get([sum_task.remote(r) for r in refs])
+    sum_task = ray.remote(num_cpus=1)(_block_total)
+    totals = ray.get([sum_task.remote(value_col, r) for r in refs])
     offsets = np.concatenate(([0.0], np.cumsum(totals)[:-1]))
 
     add_task = ray.remote(num_cpus=1)(_with_offset)

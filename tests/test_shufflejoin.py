@@ -99,3 +99,49 @@ def test_hash_join_string_keys(ray_session):
     want = left.merge(right, on="k")
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
                                   check_dtype=False)
+
+
+def test_hash_join_single_bucket(ray_session):
+    left, right = _mk(seed=21)
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    left_on="k", right_on="rk", num_buckets=1).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
+                                  check_dtype=False)
+
+
+def test_hash_join_left_schema_unified(ray_session):
+    # unmatched left rows must NOT promote right int columns to float64 in
+    # some buckets only — every bucket casts to one explicit schema
+    left = pd.DataFrame({"k": np.arange(100), "lv": np.arange(100)})
+    right = pd.DataFrame({"rk": np.arange(0, 100, 7),
+                          "rv": np.arange(0, 100, 7) * 10})
+    ds = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                   left_on="k", right_on="rk", how="left", num_buckets=5)
+    assert dict(zip(ds.schema().names,
+                    [str(t) for t in ds.schema().types]))["rv"] == "int64"
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["rv"].notna().sum() == len(right)
+    matched = got[got["k"] % 7 == 0]
+    assert (matched["rv"].to_numpy() == matched["k"].to_numpy() * 10).all()
+
+
+def test_hash_join_null_keys_sql_semantics(ray_session):
+    # SQL equi-joins never match NULL keys; pandas merge matches NaN==NaN
+    left = pd.DataFrame({"k": [1.0, 2.0, np.nan, np.nan],
+                         "lv": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [2.0, np.nan], "rv": [200, 999]})
+    inner = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      left_on="k", num_buckets=2).to_pandas()
+    assert len(inner) == 1 and inner["lv"].iloc[0] == 20
+    anti = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     left_on="k", how="anti", num_buckets=2).to_pandas()
+    # NOT EXISTS keeps null-key left rows (predicate is never true)
+    assert sorted(anti["lv"]) == [10, 30, 40]
+    semi = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     left_on="k", how="semi", num_buckets=2).to_pandas()
+    assert sorted(semi["lv"]) == [20]
+    leftj = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      left_on="k", how="left", num_buckets=2).to_pandas()
+    assert len(leftj) == 4
+    assert leftj.loc[leftj["lv"] == 30, "rv"].isna().all()
