@@ -60,7 +60,8 @@ def _join_schema(left_schema: pa.Schema, right_schema: pa.Schema,
 
 
 def _join_bucket(left_on, right_on, how, suffix, post, n_left,
-                 empty_left, empty_right, out_schema, *parts) -> pa.Table:
+                 empty_left, empty_right, out_schema, salted,
+                 *parts) -> pa.Table:
     """Reduce task: gather this bucket's left/right parts and join."""
     parts = flatten_parts(parts)
     lparts = [p for p in parts[:n_left] if p is not None and p.num_rows]
@@ -74,16 +75,34 @@ def _join_bucket(left_on, right_on, how, suffix, post, n_left,
     # inner joins neither can left nulls.  Left nulls stay for left/anti
     # (unmatched) and drop out of semi via non-membership.
     rdf = rdf[rdf[right_on].notna()]
+    keys_l = [left_on, "__salt"] if salted else [left_on]
+    if salted:
+        # a bucket can hold several salts of one key (hash collisions);
+        # joining on the bare key would then match each right replica —
+        # the salt must stay part of the join predicate
+        rdf = rdf.rename(columns={"__salt": "__salt_r"})
+    keys_r = [right_on, "__salt_r"] if salted else [right_on]
     if how in ("semi", "anti"):
-        mask = ldf[left_on].isin(rdf[right_on].unique())
+        if salted:
+            probe = ldf.merge(rdf[keys_r].drop_duplicates(), how="left",
+                              left_on=keys_l, right_on=keys_r,
+                              indicator=True)
+            mask = (probe["_merge"] == "both").to_numpy()
+        else:
+            mask = ldf[left_on].isin(rdf[right_on].unique()).to_numpy()
         out = ldf[mask] if how == "semi" else ldf[~mask]
     else:
         if how == "inner":
             ldf = ldf[ldf[left_on].notna()]
-        out = ldf.merge(rdf, how=how, left_on=left_on, right_on=right_on,
+        out = ldf.merge(rdf, how=how, left_on=keys_l, right_on=keys_r,
                         suffixes=("", suffix))
-        if right_on != left_on and right_on in out.columns:
-            out = out.drop(columns=[right_on])
+        drop = [c for c in ([right_on] if right_on != left_on else [])
+                if c in out.columns]
+        if drop:
+            out = out.drop(columns=drop)
+    salt_cols = [c for c in ("__salt", "__salt_r") if c in out.columns]
+    if salt_cols:
+        out = out.drop(columns=salt_cols)
     if post is not None:
         out = post(out)
         if isinstance(out, pa.Table):
@@ -108,6 +127,7 @@ def hash_join(
     num_buckets: int | None = DEFAULT_NUM_BUCKETS,
     suffix: str = "_r",
     post=None,
+    salt: int | None = None,
 ) -> "rd.Dataset":
     """Distributed equi-join of two Datasets on a hashed key exchange.
 
@@ -116,13 +136,44 @@ def hash_join(
     ``post(df) -> df | pa.Table`` runs inside each bucket task on the
     joined frame (use it to partial-aggregate before the rows ship).
     Callers should ``select_columns`` both sides first — every shipped
-    column crosses the exchange."""
+    column crosses the exchange.
+
+    ``salt=s`` spreads HOT LEFT KEYS over ``s`` sub-buckets: each left
+    row gets a round-robin salt, the right side is replicated ``s``×
+    (one copy per salt value), and the exchange hashes (key, salt) —
+    a single dominant key then occupies ``s`` reduce tasks instead of
+    one.  Every left row still joins exactly one right copy, so results
+    are identical for all ``how`` modes; the price is ``s``× right-side
+    shuffle bytes (salt a join only when the right side is the smaller
+    one)."""
     import ray
 
     if how not in _HOW:
         raise ValueError(f"how must be one of {_HOW}")
     right_on = right_on or left_on
     num_buckets = resolve_num_buckets(num_buckets)
+
+    join_keys_l, join_keys_r = [left_on], [right_on]
+    if salt and salt > 1:
+        s = int(salt)
+
+        def _salt_left(t: pa.Table) -> pa.Table:
+            v = np.arange(t.num_rows, dtype=np.int64) % s
+            return t.append_column("__salt", pa.array(v))
+
+        def _replicate_right(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            idx = pa.array(np.tile(np.arange(n, dtype=np.int64), s))
+            rep = t.take(idx)
+            sv = pa.array(np.repeat(np.arange(s, dtype=np.int64), n))
+            return rep.append_column("__salt", sv)
+
+        left = left.map_batches(_salt_left, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        right = right.map_batches(_replicate_right, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        join_keys_l = [left_on, "__salt"]
+        join_keys_r = [right_on, "__salt"]
 
     split_task = ray.remote(num_returns=num_buckets)(_split_block)
     join_task = ray.remote(_join_bucket)
@@ -144,26 +195,37 @@ def hash_join(
             pass
         return ray.get(refs[0]).schema if refs else pa.schema([])
 
-    lschema = _arrow_schema(left, lrefs)
-    rschema = _arrow_schema(right, rrefs)
-    if right_on not in rschema.names:
-        key_type = lschema.field(left_on).type \
-            if left_on in lschema.names else pa.string()
-        rschema = pa.schema([pa.field(right_on, key_type)])
-    empty_left = lschema.empty_table()
-    empty_right = rschema.empty_table()
+    salted = len(join_keys_l) > 1
+    lschema_full = _arrow_schema(left, lrefs)
+    rschema_full = _arrow_schema(right, rrefs)
+    if right_on not in rschema_full.names:
+        key_type = lschema_full.field(left_on).type \
+            if left_on in lschema_full.names else pa.string()
+        fields = [pa.field(right_on, key_type)]
+        if salted:
+            fields.append(pa.field("__salt", pa.int64()))
+        rschema_full = pa.schema(fields)
+    # empty exemplars keep the (possibly salted) exchange schema; the
+    # OUTPUT schema is always salt-free
+    empty_left = lschema_full.empty_table()
+    empty_right = rschema_full.empty_table()
+
+    def _saltless(schema: pa.Schema) -> pa.Schema:
+        return pa.schema([f for f in schema if f.name != "__salt"])
+
     out_schema = None
     if how in ("semi", "anti"):
-        out_schema = lschema
+        out_schema = _saltless(lschema_full)
     elif post is None:
-        out_schema = _join_schema(lschema, rschema, right_on, suffix)
+        out_schema = _join_schema(_saltless(lschema_full),
+                                  _saltless(rschema_full), right_on, suffix)
     el_ref, er_ref = ray.put(empty_left), ray.put(empty_right)
 
-    lsplit = split_exchange(split_task, lrefs, [left_on], num_buckets)
-    rsplit = split_exchange(split_task, rrefs, [right_on], num_buckets)
+    lsplit = split_exchange(split_task, lrefs, join_keys_l, num_buckets)
+    rsplit = split_exchange(split_task, rrefs, join_keys_r, num_buckets)
     out_refs = [
         join_task.remote(left_on, right_on, how, suffix, post, len(lsplit),
-                         el_ref, er_ref, out_schema,
+                         el_ref, er_ref, out_schema, salted,
                          *[s[b] for s in lsplit], *[s[b] for s in rsplit])
         for b in range(num_buckets)
     ]

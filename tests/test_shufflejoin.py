@@ -145,3 +145,24 @@ def test_hash_join_null_keys_sql_semantics(ray_session):
                       left_on="k", how="left", num_buckets=2).to_pandas()
     assert len(leftj) == 4
     assert leftj.loc[leftj["lv"] == 30, "rv"].isna().all()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_salted_parity(ray_session, how):
+    # skewed left: one hot key dominates; salted results must be
+    # identical to unsalted for every join mode
+    rng = np.random.default_rng(13)
+    k = rng.integers(0, 50, 800)
+    k[:600] = 7  # hot key
+    left = pd.DataFrame({"k": k, "lv": np.arange(800)})
+    right = pd.DataFrame({"rk": np.arange(0, 50, 3),
+                          "rv": np.arange(0, 50, 3) * 2})
+    plain = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      left_on="k", right_on="rk", how=how,
+                      num_buckets=4).to_pandas()
+    salted = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                       left_on="k", right_on="rk", how=how,
+                       num_buckets=4, salt=3).to_pandas()
+    assert "__salt" not in salted.columns
+    pd.testing.assert_frame_equal(_sorted(plain), _sorted(salted),
+                                  check_dtype=False)
