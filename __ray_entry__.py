@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed scan (prefix sum) + deterministic shuffle
         "pack_documents": q.pack_documents,
         "shuffle_documents": q.shuffle_documents,
+        # inverted-index term stats (document frequency)
+        "term_df_documents": q.term_df_documents,
         # flagship transcript engine (non-SQL: full constraint suite)
         "transcript_violations": q.transcript_violations,
         "transcript_verdict": q.transcript_verdict,
@@ -514,6 +516,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents ORDER BY shuffle_key LIMIT 200
+        """,
+        "term_df_documents": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct(
+                    regexp_extract_all(lower(coalesce(text, '')),
+                                       '[a-z0-9]+'))) AS term
+                FROM documents
+            )
+            SELECT term, count(*) AS df FROM toks GROUP BY term
+            ORDER BY df DESC, term LIMIT 20
         """,
         "order_priority_revenue": """
             SELECT o.o_orderpriority,

@@ -1157,3 +1157,42 @@ def shuffle_documents(sf_dir: str):
                          zero_copy_batch=True).sort("shuffle_key").limit(200)
     return collect_with_schema(out, pa.schema([
         ("doc_id", pa.int64()), ("shuffle_key", pa.string())]))
+
+
+def term_df_documents(sf_dir: str):
+    """Corpus document-frequency (inverted-index term stats): top-20 terms
+    by number of documents containing them.  Per-batch partial: lowercase →
+    regex tokenize → per-doc distinct → term counts; only (term, partial)
+    rows shuffle into the final groupby — the classic combiner shape."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(pc.cast(t["text"], pa.string()),
+                                         ""))
+        lst = pc.split_pattern_regex(txt, "[^a-z0-9]+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst)
+        df = pd.DataFrame({"p": np.asarray(parent),
+                           "t": np.asarray(flat).astype(object)})
+        df = df[df["t"] != ""].drop_duplicates()
+        vc = df["t"].value_counts()
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy().astype(str)),
+            "df": pa.array(vc.to_numpy().astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = parts.groupby("term").aggregate(Sum("df", alias_name="df"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"term": pc.cast(t["term"], pa.string()),
+                         "df": pc.cast(t["df"], pa.int64())})
+
+    out = agg.map_batches(cast, batch_format="pyarrow") \
+        .sort(key=["df", "term"], descending=[True, False]).limit(20)
+    return collect_with_schema(out, pa.schema([
+        ("term", pa.string()), ("df", pa.int64())]))
