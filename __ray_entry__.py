@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_events": q.running_totals_events,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
+        "group_quantiles_lineitem": q.group_quantiles_lineitem,
         # distributed scan (prefix sum) + deterministic shuffle
         "pack_documents": q.pack_documents,
         "shuffle_documents": q.shuffle_documents,
@@ -602,6 +603,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             UNION ALL SELECT 0.875, quantile_disc(l_quantity, 0.875)
             FROM lineitem
+        """,
+        "group_quantiles_lineitem": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.5) AS p50,
+                   quantile_disc(l_quantity, 0.75) AS p75,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "knn_embeddings": """
             WITH q AS (

@@ -1196,3 +1196,43 @@ def term_df_documents(sf_dir: str):
         .sort(key=["df", "term"], descending=[True, False]).limit(20)
     return collect_with_schema(out, pa.schema([
         ("term", pa.string()), ("df", pa.int64())]))
+
+
+def group_quantiles_lineitem(sf_dir: str):
+    """Per-group exact discrete quantiles (quantile_disc semantics: value
+    at 1-based rank max(ceil(q*n),1) of the sorted group) via the
+    hash-bucket exchange — only (group, value) pairs shuffle."""
+    import math
+
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, sub in g.groupby("l_returnflag", sort=False):
+            v = np.sort(sub["l_quantity"].to_numpy())
+            n = len(v)
+            rows.append({
+                "l_returnflag": str(flag),
+                "p50": float(v[max(math.ceil(0.5 * n), 1) - 1]),
+                "p75": float(v[max(math.ceil(0.75 * n), 1) - 1]),
+                "n": np.int64(n),
+            })
+        return pd.DataFrame(rows,
+                            columns=["l_returnflag", "p50", "p75", "n"])
+
+    out = grouped_map(ds, ["l_returnflag"], bucket)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": pc.cast(t["l_returnflag"],
+                                                 pa.string()),
+                         "p50": pc.cast(t["p50"], pa.float64()),
+                         "p75": pc.cast(t["p75"], pa.float64()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow") \
+        .sort("l_returnflag")
