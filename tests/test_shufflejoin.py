@@ -166,3 +166,23 @@ def test_hash_join_salted_parity(ray_session, how):
     assert "__salt" not in salted.columns
     pd.testing.assert_frame_equal(_sorted(plain), _sorted(salted),
                                   check_dtype=False)
+
+
+def test_hash_join_salted_with_post(ray_session):
+    # post must see a salt-free frame; partials must fold to the same
+    # totals as the unsalted plan
+    left, right = _mk(seed=31)
+
+    def post(df):
+        assert "__salt" not in df.columns and "__salt_r" not in df.columns
+        return (df.groupby("rv", sort=False)
+                .agg(s=("lv", "sum"), n=("lv", "size")).reset_index())
+
+    def run(**kw):
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        left_on="k", right_on="rk", post=post,
+                        num_buckets=4, **kw).to_pandas()
+        return out.groupby("rv").agg(s=("s", "sum"), n=("n", "sum")) \
+            .sort_index().round(6)
+
+    pd.testing.assert_frame_equal(run(), run(salt=3), check_dtype=False)
