@@ -42,7 +42,7 @@ from crn_meta_validate_ray.stages.common import (DEFAULT_NUM_BUCKETS,
                                                  resolve_num_buckets,
                                                  split_exchange)
 
-_HOW = ("inner", "left", "semi", "anti")
+_HOW = ("inner", "left", "outer", "semi", "anti")
 
 
 def _join_schema(left_schema: pa.Schema, right_schema: pa.Schema,
@@ -73,7 +73,10 @@ def _join_bucket(left_on, right_on, how, suffix, post, n_left,
     # SQL NULL-key semantics: a null never equi-matches (pandas would
     # match NaN == NaN); right nulls can never produce a match, and for
     # inner joins neither can left nulls.  Left nulls stay for left/anti
-    # (unmatched) and drop out of semi via non-membership.
+    # (unmatched) and drop out of semi via non-membership.  FULL OUTER
+    # keeps right null-key rows as unmatched — peel them off before the
+    # merge and append them after.
+    rnull = rdf[rdf[right_on].isna()] if how == "outer" else None
     rdf = rdf[rdf[right_on].notna()]
     keys_l = [left_on, "__salt"] if salted else [left_on]
     if salted:
@@ -96,10 +99,25 @@ def _join_bucket(left_on, right_on, how, suffix, post, n_left,
             ldf = ldf[ldf[left_on].notna()]
         out = ldf.merge(rdf, how=how, left_on=keys_l, right_on=keys_r,
                         suffixes=("", suffix))
+        if how == "outer" and right_on != left_on \
+                and right_on in out.columns:
+            # USING-style coalesced key for right-only rows
+            out[left_on] = out[left_on].where(out[left_on].notna(),
+                                              out[right_on])
         drop = [c for c in ([right_on] if right_on != left_on else [])
                 if c in out.columns]
         if drop:
             out = out.drop(columns=drop)
+        if rnull is not None and len(rnull):
+            # right rows with NULL keys: unmatched in SQL FULL OUTER; the
+            # coalesced key stays NULL.  Map right column names through
+            # the same suffix rule the merge used.
+            lnames = set(ldf.columns)
+            ext = pd.DataFrame({
+                (c + suffix if c in lnames else c): rnull[c].to_numpy()
+                for c in rnull.columns if c != right_on})
+            out = pd.concat([out, ext.reindex(columns=out.columns)],
+                            ignore_index=True)
     salt_cols = [c for c in ("__salt", "__salt_r") if c in out.columns]
     if salt_cols:
         out = out.drop(columns=salt_cols)
@@ -154,6 +172,9 @@ def hash_join(
     num_buckets = resolve_num_buckets(num_buckets)
 
     join_keys_l, join_keys_r = [left_on], [right_on]
+    if salt and salt > 1 and how == "outer":
+        # replicated right rows would each emit an unmatched copy
+        raise ValueError("salt is not supported for how='outer'")
     if salt and salt > 1:
         s = int(salt)
 

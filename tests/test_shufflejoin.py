@@ -186,3 +186,24 @@ def test_hash_join_salted_with_post(ray_session):
             .sort_index().round(6)
 
     pd.testing.assert_frame_equal(run(), run(salt=3), check_dtype=False)
+
+
+def test_hash_join_outer(ray_session):
+    left = pd.DataFrame({"k": [1.0, 2.0, np.nan], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"rk": [2.0, 4.0, np.nan], "rv": [200, 400, 999]})
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    left_on="k", right_on="rk", how="outer",
+                    num_buckets=3).to_pandas()
+    # matched: (2,20,200); left-only: 1, NaN-left; right-only: 4, NaN-right
+    assert len(got) == 5
+    m = got[got["lv"] == 20]
+    assert m["rv"].iloc[0] == 200 and m["k"].iloc[0] == 2.0
+    right_only = got[got["rv"] == 400]
+    assert right_only["k"].iloc[0] == 4.0  # coalesced USING-style key
+    assert right_only["lv"].isna().all()
+    null_right = got[got["rv"] == 999]
+    assert null_right["k"].isna().all() and null_right["lv"].isna().all()
+    assert got[got["lv"] == 30]["rv"].isna().all()
+    with pytest.raises(ValueError):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  left_on="k", right_on="rk", how="outer", salt=2)
