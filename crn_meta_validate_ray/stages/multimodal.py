@@ -2,13 +2,16 @@
 
 The Ray-side plumbing — schema contract, actor-pool stage shape, small
 batch sizes for large payloads, fixed-size feature output — is real and
-tested, and so is the decode: ``DecodeImageStage`` decodes with PIL when
-importable and otherwise falls back to a built-in pure-numpy netpbm
-(binary PGM ``P5`` / PPM ``P6``) decoder — full header parse (comments,
-arbitrary whitespace), raster length check, Rec.601 grayscale, resize —
-so image decode works even in codec-free containers.  Only *other*
-formats (JPEG/PNG without PIL, audio, video frames) degrade to the
-deterministic byte-slice stub features.
+tested, and so is the decode: ``DecodeImageStage`` decodes images with
+PIL when importable and otherwise falls back to a built-in pure-numpy
+netpbm (binary PGM ``P5`` / PPM ``P6``) decoder — full header parse
+(comments, arbitrary whitespace), raster length check, Rec.601
+grayscale, resize — and decodes audio with a built-in pure-numpy WAV
+(RIFF) parser — chunk walk, PCM8/PCM16/float32, multi-channel downmix —
+emitting a fixed-size mean-|amplitude| envelope.  Both work in
+codec-free containers.  Only *other* formats (JPEG/PNG without PIL,
+compressed audio, video frames) degrade to the deterministic byte-slice
+stub features.
 
 Stage shape rules for binary payloads:
 - keep ``batch_size`` small (payload bytes × batch_size × concurrency must
@@ -47,11 +50,21 @@ def synth_media_table(n: int = 64, seed: int = 13) -> pa.Table:
     height = np.where(kinds == "audio", 0, rng.integers(16, 64, n)).astype(np.int32)
     dur = np.where(kinds == "image", 0, rng.integers(100, 5000, n)).astype(np.int32)
     payloads = []
-    for k, w, h in zip(kinds, width, height):
+    for k, w, h, d in zip(kinds, width, height, dur):
         if k == "image":
             raster = rng.integers(0, 256, int(w) * int(h) * 3,
                                   dtype=np.uint8).tobytes()
             payloads.append(f"P6\n{int(w)} {int(h)}\n255\n".encode() + raster)
+        elif k == "audio":
+            # VALID PCM16 WAV: seeded tone + noise, so the real RIFF
+            # decode path is exercised end-to-end
+            rate = 8000
+            n_s = max(int(d) * rate // 1000, 256)
+            t = np.arange(n_s, dtype=np.float64) / rate
+            f = 220.0 + float(rng.integers(0, 660))
+            x = (0.5 * np.sin(2 * np.pi * f * t)
+                 + 0.05 * rng.standard_normal(n_s))
+            payloads.append(wav_bytes(x, rate))
         else:
             payloads.append(rng.integers(0, 256, max(int(w) * int(h), 128),
                                          dtype=np.uint8).tobytes())
@@ -63,6 +76,60 @@ def synth_media_table(n: int = 64, seed: int = 13) -> pa.Table:
         "height": pa.array(height),
         "duration_ms": pa.array(dur),
     })
+
+
+def wav_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode a mono float array in [-1, 1] as a PCM16 WAV payload."""
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    n = len(pcm)
+
+    def le(v: int, w: int) -> bytes:
+        return int(v).to_bytes(w, "little")
+
+    return (b"RIFF" + le(36 + n, 4) + b"WAVE"
+            + b"fmt " + le(16, 4) + le(1, 2) + le(1, 2) + le(rate, 4)
+            + le(rate * 2, 4) + le(2, 2) + le(16, 2)
+            + b"data" + le(n, 4) + pcm)
+
+
+def parse_wav(p: bytes):
+    """Decode a RIFF/WAVE payload with numpy: chunk walk (word-aligned),
+    PCM 8/16-bit and IEEE-float32 sample formats, multi-channel downmix to
+    mono.  Returns ``(samples_float32_mono, sample_rate)`` or None if the
+    payload is not a decodable WAV."""
+    if len(p) < 44 or p[0:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        size = int.from_bytes(p[i + 4:i + 8], "little")
+        body = p[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if n_ch < 1 or rate <= 0:
+        return None
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8)
+             .astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        return None  # compressed / exotic formats → stub fallback
+    if n_ch > 1:
+        n = (len(x) // n_ch) * n_ch
+        x = x[:n].reshape(-1, n_ch).mean(axis=1).astype(np.float32)
+    return x, rate
 
 
 def parse_netpbm(p: bytes) -> np.ndarray | None:
@@ -115,10 +182,12 @@ class DecodeImageStage:
 
     Real path (``fake=False``): decode each image payload, convert to
     grayscale, resize to a ``⌈√dim⌉``-square thumbnail and emit the
-    normalized pixels truncated/padded to ``dim`` floats.  The decoder is
-    probed once per actor in ``__init__``: PIL when importable (any
+    normalized pixels truncated/padded to ``dim`` floats; decode each
+    audio payload with the built-in WAV parser (:func:`parse_wav`) and
+    emit a ``dim``-bucket mean-|amplitude| envelope.  The image decoder
+    is probed once per actor in ``__init__``: PIL when importable (any
     format PIL reads), else the built-in pure-numpy netpbm decoder
-    (:func:`parse_netpbm` — always available).  Non-image kinds and
+    (:func:`parse_netpbm` — always available).  Video kinds and
     undecodable payloads fall back to the deterministic byte-slice stub
     features; ``fake=True`` forces the stub for everything (feature =
     first ``dim`` payload bytes / 255)."""
@@ -156,6 +225,21 @@ class DecodeImageStage:
             out[: len(pix)] = pix
         return True
 
+    def _wav_features(self, p: bytes, out: np.ndarray) -> bool:
+        parsed = parse_wav(p)
+        if parsed is None:
+            return False  # not decodable WAV → stub fallback
+        x, _rate = parsed
+        if not len(x):
+            return False
+        # mean-|amplitude| envelope over dim equal time buckets, O(n)
+        # via one cumsum (no Python loop over buckets)
+        idx = (np.arange(self.dim + 1, dtype=np.int64) * len(x)) // self.dim
+        c = np.concatenate(([0.0], np.cumsum(np.abs(x), dtype=np.float64)))
+        widths = np.maximum(idx[1:] - idx[:-1], 1)
+        out[:] = ((c[idx[1:]] - c[idx[:-1]]) / widths).astype(np.float32)
+        return True
+
     def _pil_features(self, p: bytes, out: np.ndarray) -> bool:
         import io
         try:
@@ -183,6 +267,9 @@ class DecodeImageStage:
                 if self.decoder == "netpbm" \
                         and self._netpbm_features(p, feats[i]):
                     continue
+            if kind == "audio" and self.decoder is not None \
+                    and self._wav_features(p, feats[i]):
+                continue
             self._stub_features(p, feats[i])
         out = batch.drop_columns(["payload"])
         return out.append_column(

@@ -145,3 +145,67 @@ def test_decode_media_pil_path(ray_session):
         f = np.asarray(row["feature"])
         assert f.shape == (16,)
         assert np.allclose(f, v / 255.0, atol=1 / 255)
+
+
+def test_wav_roundtrip_and_envelope():
+    import numpy as np
+    from crn_meta_validate_ray.stages.multimodal import (DecodeImageStage,
+                                                         parse_wav,
+                                                         wav_bytes)
+    rate = 8000
+    t = np.arange(4000) / rate
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    p = wav_bytes(x, rate)
+    parsed = parse_wav(p)
+    assert parsed is not None
+    got, got_rate = parsed
+    assert got_rate == rate and len(got) == 4000
+    np.testing.assert_allclose(got, x, atol=2 / 32768)
+
+    stage = DecodeImageStage(dim=8)
+    out = np.zeros(8, dtype=np.float32)
+    assert stage._wav_features(p, out)
+    # mean |sin| over full cycles ≈ 2/pi * amplitude
+    np.testing.assert_allclose(out, 0.5 * 2 / np.pi, atol=0.02)
+
+
+def test_wav_rejects_garbage_and_handles_stereo():
+    import numpy as np
+    from crn_meta_validate_ray.stages.multimodal import parse_wav, wav_bytes
+    assert parse_wav(b"not a wav at all, definitely not 44 bytes long!!") \
+        is None
+    assert parse_wav(b"RIFF\x00\x00\x00\x00WAVEjunkjunkjunkjunkjunkjunk"
+                     b"junkjunkjunkjunk") is None
+    # hand-build a stereo PCM16 file: L=+0.5, R=-0.5 → mono mean 0
+    pcm = np.zeros(200, dtype="<i2")
+    pcm[0::2] = 16384
+    pcm[1::2] = -16384
+    raw = pcm.tobytes()
+
+    def le(v, w):
+        return int(v).to_bytes(w, "little")
+
+    p = (b"RIFF" + le(36 + len(raw), 4) + b"WAVE"
+         + b"fmt " + le(16, 4) + le(1, 2) + le(2, 2) + le(8000, 4)
+         + le(8000 * 4, 4) + le(4, 2) + le(16, 2)
+         + b"data" + le(len(raw), 4) + raw)
+    got, rate = parse_wav(p)
+    assert rate == 8000 and len(got) == 100
+    assert abs(got).max() < 1e-4  # channels cancel in the downmix
+
+
+def test_decode_media_real_audio_path(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from crn_meta_validate_ray.stages.multimodal import (decode_media,
+                                                         synth_media_table)
+    tbl = synth_media_table(48)
+    out = decode_media(rd.from_arrow(tbl), dim=8, batch_size=16).to_pandas()
+    audio = out[out["kind"] == "audio"]
+    assert len(audio) > 0
+    feats = np.vstack(audio["feature"].to_numpy())
+    # tone amplitude 0.5 → envelope ≈ 2/pi*0.5 ≈ 0.32 in every bucket;
+    # the byte-slice stub would give near-uniform [0,1] noise ≈ 0.5 mean
+    # with high variance — check the envelope is tight and plausible
+    assert (np.abs(feats - feats.mean(axis=1, keepdims=True)) < 0.1).all()
+    assert ((feats.mean(axis=1) > 0.2) & (feats.mean(axis=1) < 0.45)).all()
