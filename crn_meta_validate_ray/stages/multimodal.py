@@ -295,20 +295,23 @@ def frame_sample_plan(ds: "rd.Dataset", every_ms: int = 500) -> "rd.Dataset":
     real."""
 
     def expand(t: pa.Table) -> pa.Table:
-        ids, fidx, tsms = [], [], []
-        mids = t["media_id"].to_pylist()
-        durs = t["duration_ms"].to_pylist()
-        kinds = t["kind"].to_pylist()
-        for mid, dur, kind in zip(mids, durs, kinds):
-            if kind != "video" or not dur:
-                continue
-            for k, ts in enumerate(range(0, int(dur), every_ms)):
-                ids.append(mid)
-                fidx.append(k)
-                tsms.append(ts)
-        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
-                         "frame_idx": pa.array(fidx, type=pa.int32()),
-                         "ts_ms": pa.array(tsms, type=pa.int32())})
+        import pyarrow.compute as pc
+        video = t.filter(pc.equal(t["kind"], "video"))
+        mids = np.asarray(video["media_id"], dtype=np.int64)
+        durs = np.asarray(pc.fill_null(video["duration_ms"], 0),
+                          dtype=np.int64)
+        # frames per row = ceil(dur / every_ms); whole batch expanded with
+        # repeat/arange — no Python loop over rows or frames
+        n_frames = np.maximum(-(-durs // every_ms), 0)
+        n_frames[durs <= 0] = 0
+        ids = np.repeat(mids, n_frames)
+        starts = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
+        fidx = np.arange(int(n_frames.sum()), dtype=np.int64) \
+            - np.repeat(starts, n_frames)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(fidx.astype(np.int32)),
+            "ts_ms": pa.array((fidx * every_ms).astype(np.int32))})
 
     return ds.select_columns(["media_id", "kind", "duration_ms"]) \
         .map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
