@@ -69,7 +69,13 @@ def ordered_prefix_sum(
 ) -> "rd.Dataset":
     """Append ``out_col`` = inclusive prefix sum of ``value_col`` in the
     total order of ``sort_key``.  ``integer=True`` emits int64 (exact for
-    integral inputs within 2^53 via the float64 accumulator)."""
+    integral inputs within 2^53 via the float64 accumulator).
+
+    ``sort_key`` must induce a TOTAL order (unique keys, or a composite
+    that breaks ties): rows with equal keys get an arbitrary relative
+    order from the distributed sort, making their individual run_sum
+    values nondeterministic (the sum after the tie group is still
+    exact)."""
     import ray
 
     sorted_ds = ds.sort(sort_key)
