@@ -130,6 +130,13 @@ def _join_bucket(left_on, right_on, how, suffix, post, n_left,
         # pin every bucket to one schema: unmatched left rows promote
         # right ints to float64-with-NaN in pandas; casting back restores
         # int64-with-null and keeps empty buckets from inferring null types
+        for f in out_schema:
+            # a null-typed field means the SOURCE column was all-null
+            # (arrow infers `null` for it) — every joined value is null
+            # too, but pandas extension dtypes can't cast to arrow null;
+            # force plain all-None objects
+            if pa.types.is_null(f.type) and f.name in out.columns:
+                out[f.name] = pd.Series([None] * len(out), dtype=object)
         return pa.Table.from_pandas(out, schema=out_schema,
                                     preserve_index=False)
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -240,6 +247,15 @@ def hash_join(
     elif post is None:
         out_schema = _join_schema(_saltless(lschema_full),
                                   _saltless(rschema_full), right_on, suffix)
+        if how == "outer" and left_on in out_schema.names:
+            # the outer key column is COALESCED (left, right): if the left
+            # key is null-typed (all-null source), the right key's type
+            # governs — otherwise right-only rows lose their key values
+            lt = out_schema.field(left_on).type
+            if pa.types.is_null(lt) and right_on in rschema_full.names:
+                out_schema = out_schema.set(
+                    out_schema.get_field_index(left_on),
+                    pa.field(left_on, rschema_full.field(right_on).type))
     el_ref, er_ref = ray.put(empty_left), ray.put(empty_right)
 
     lsplit = split_exchange(split_task, lrefs, join_keys_l, num_buckets)
