@@ -66,3 +66,22 @@ def test_hash_join_matches_duckdb(ray_session, how, data):
     if len(got) == 0 and len(want) == 0:
         return
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_group_quantile_rank_rule_matches_duckdb(ray_session, data):
+    """The engine's discrete-quantile rank (1-based max(ceil(q*n),1))
+    must agree with DuckDB quantile_disc for arbitrary group sizes."""
+    import math
+
+    vals = data.draw(st.lists(st.integers(0, 50), min_size=1, max_size=60))
+    q = data.draw(st.sampled_from([0.25, 0.5, 0.75, 0.875]))
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    engine = v[max(math.ceil(q * len(v)), 1) - 1]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": vals}))
+    want = con.execute(
+        f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+    assert engine == want
