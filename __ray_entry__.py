@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_counts_events": q.distinct_counts_events,
         "csv_roundtrip_events": q.csv_roundtrip_events,
         "revenue_by_nation": q.revenue_by_nation,
+        "rollup_revenue": q.rollup_revenue,
         "rowcounts": q.rowcounts,
         # text analysis / dedup (training-data ops)
         "exact_dedup_documents": q.exact_dedup_documents,
@@ -267,6 +268,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(n.n_name, '(all)') AS n_name,
+                   coalesce(o.o_orderpriority, '(all)')
+                       AS o_orderpriority,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+            ORDER BY n_name, o_orderpriority
         """,
         "rowcounts": """
             SELECT 'region' AS table_name, count(*) AS n_rows FROM region

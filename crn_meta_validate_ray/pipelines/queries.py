@@ -1236,3 +1236,46 @@ def group_quantiles_lineitem(sf_dir: str):
 
     return out.map_batches(cast, batch_format="pyarrow") \
         .sort("l_returnflag")
+
+
+def rollup_revenue(sf_dir: str):
+    """Multi-level (ROLLUP) aggregation: revenue by (nation, priority) with
+    nation subtotals and a grand total.  The base aggregate runs
+    distributed (broadcast dims + partial-combined groupby); the rollup
+    levels derive from that BOUNDED dimensional aggregate driver-side —
+    at any data scale the rollup input is |nations|×|priorities| rows."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.broadcast import broadcast_lookup_join
+
+    orders = rd.read_parquet(_p(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice",
+                                      "o_orderpriority"])
+    customer = rd.read_parquet(_p(sf_dir, "customer"),
+                               columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(_p(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    enriched = broadcast_lookup_join(orders, customer, left_key="o_custkey",
+                                     right_key="c_custkey",
+                                     carry_cols=["c_nationkey"])
+    enriched = broadcast_lookup_join(enriched, nation,
+                                     left_key="c_nationkey",
+                                     right_key="n_nationkey",
+                                     carry_cols=["n_name"])
+    base = enriched.groupby(["n_name", "o_orderpriority"]).aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders")).to_pandas()
+
+    lvl1 = base.groupby("n_name", as_index=False) \
+        .agg(revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+    lvl1["o_orderpriority"] = "(all)"
+    total = pd.DataFrame([{
+        "n_name": "(all)", "o_orderpriority": "(all)",
+        "revenue": base["revenue"].sum(),
+        "n_orders": base["n_orders"].sum()}])
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    cols = ["n_name", "o_orderpriority", "revenue", "n_orders"]
+    return out[cols].sort_values(["n_name", "o_orderpriority"],
+                                 kind="stable").reset_index(drop=True)
