@@ -382,16 +382,19 @@ def revenue_by_nation(sf_dir: str):
     """Snowflake enrichment with ZERO shuffles on the fact side: orders →
     customer (broadcast) → nation (broadcast), then a partial-aggregated
     groupby on the tiny (nation) key space."""
-    from crn_meta_validate_ray.stages.broadcast import broadcast_lookup_join
+    from crn_meta_validate_ray.stages.broadcast import (broadcast_lookup_join,
+                                                        lookup_join_auto)
     orders = rd.read_parquet(_p(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
     customer = rd.read_parquet(_p(sf_dir, "customer"),
                                columns=["c_custkey", "c_nationkey"])
     nation = rd.read_parquet(_p(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"])
-    enriched = broadcast_lookup_join(orders, customer, left_key="o_custkey",
-                                     right_key="c_custkey",
-                                     carry_cols=["c_nationkey"])
+    # customer is only conditionally small: size-gated strategy (broadcast
+    # here, shuffle hash join past the object-store budget)
+    enriched = lookup_join_auto(orders, customer, left_key="o_custkey",
+                                right_key="c_custkey",
+                                carry_cols=["c_nationkey"])
     enriched = broadcast_lookup_join(enriched, nation, left_key="c_nationkey",
                                      right_key="n_nationkey",
                                      carry_cols=["n_name"])
@@ -1246,7 +1249,8 @@ def rollup_revenue(sf_dir: str):
     at any data scale the rollup input is |nations|×|priorities| rows."""
     import pandas as pd
 
-    from crn_meta_validate_ray.stages.broadcast import broadcast_lookup_join
+    from crn_meta_validate_ray.stages.broadcast import (broadcast_lookup_join,
+                                                        lookup_join_auto)
 
     orders = rd.read_parquet(_p(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice",
@@ -1255,9 +1259,9 @@ def rollup_revenue(sf_dir: str):
                                columns=["c_custkey", "c_nationkey"])
     nation = rd.read_parquet(_p(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"])
-    enriched = broadcast_lookup_join(orders, customer, left_key="o_custkey",
-                                     right_key="c_custkey",
-                                     carry_cols=["c_nationkey"])
+    enriched = lookup_join_auto(orders, customer, left_key="o_custkey",
+                                right_key="c_custkey",
+                                carry_cols=["c_nationkey"])
     enriched = broadcast_lookup_join(enriched, nation,
                                      left_key="c_nationkey",
                                      right_key="n_nationkey",

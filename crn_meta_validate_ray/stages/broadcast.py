@@ -126,3 +126,35 @@ def broadcast_lookup_join(
 
     return ds.map_batches(lookup, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+BROADCAST_MAX_DIM_ROWS = 5_000_000
+
+
+def lookup_join_auto(
+    ds: "rd.Dataset",
+    dim: "rd.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+    carry_cols: list[str],
+    broadcast_max_rows: int = BROADCAST_MAX_DIM_ROWS,
+) -> "rd.Dataset":
+    """Dimension enrichment with a size-gated strategy: broadcast lookup
+    (map-only, zero fact-side shuffle) while the dim fits the object-store
+    budget, else the large-large shuffle hash join (``how='left'``) — the
+    broadcast assumption must NEVER be implicit at 100-TB scale, where a
+    "dimension" like customers can be billions of rows.
+
+    Semantics note: the broadcast path requires a UNIQUE dim key (raises
+    on duplicates); the shuffle path follows SQL left-join semantics and
+    would emit one row per match."""
+    if dim.count() <= broadcast_max_rows:
+        return broadcast_lookup_join(ds, dim, left_key=left_key,
+                                     right_key=right_key,
+                                     carry_cols=carry_cols)
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+    narrow = dim.select_columns([right_key] + carry_cols)
+    return hash_join(ds, narrow, left_on=left_key, right_on=right_key,
+                     how="left")

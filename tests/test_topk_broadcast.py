@@ -118,3 +118,31 @@ def test_broadcast_lookup_join_duplicate_dim_key_raises(ray_session):
         broadcast_lookup_join(rd.from_arrow(fact), rd.from_arrow(dim),
                               left_key="k", right_key="dk",
                               carry_cols=["name"]).take_all()
+
+
+def test_lookup_join_auto_shuffle_fallback(ray_session):
+    """Past the broadcast budget the auto strategy must produce the same
+    enrichment through the shuffle hash join."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crn_meta_validate_ray.stages.broadcast import lookup_join_auto
+
+    rng = np.random.default_rng(4)
+    fact = pd.DataFrame({"k": rng.integers(0, 30, 300),
+                         "v": np.arange(300)})
+    dim = pd.DataFrame({"dk": np.arange(0, 30, 2),
+                        "name": [f"d{i}" for i in range(0, 30, 2)]})
+
+    def run(budget):
+        out = lookup_join_auto(rd.from_pandas(fact), rd.from_pandas(dim),
+                               left_key="k", right_key="dk",
+                               carry_cols=["name"],
+                               broadcast_max_rows=budget).to_pandas()
+        return out.sort_values(["v"]).reset_index(drop=True)[
+            ["k", "v", "name"]]
+
+    bc = run(10**6)   # broadcast path
+    sj = run(1)       # forced shuffle path
+    pd.testing.assert_frame_equal(bc, sj, check_dtype=False)
