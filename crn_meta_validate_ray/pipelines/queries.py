@@ -378,14 +378,14 @@ def top_orders_per_customer(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
-def revenue_by_nation(sf_dir: str):
-    """Snowflake enrichment with ZERO shuffles on the fact side: orders →
-    customer (broadcast) → nation (broadcast), then a partial-aggregated
-    groupby on the tiny (nation) key space."""
+def _orders_by_nation(sf_dir: str, order_cols: list[str]):
+    """Shared snowflake enrichment: orders → customer (size-gated join) →
+    nation (broadcast), carrying ``order_cols`` off the fact table.  Zero
+    shuffles on the fact side while customer fits the broadcast budget."""
     from crn_meta_validate_ray.stages.broadcast import (broadcast_lookup_join,
                                                         lookup_join_auto)
     orders = rd.read_parquet(_p(sf_dir, "orders"),
-                             columns=["o_custkey", "o_totalprice"])
+                             columns=["o_custkey"] + order_cols)
     customer = rd.read_parquet(_p(sf_dir, "customer"),
                                columns=["c_custkey", "c_nationkey"])
     nation = rd.read_parquet(_p(sf_dir, "nation"),
@@ -395,9 +395,16 @@ def revenue_by_nation(sf_dir: str):
     enriched = lookup_join_auto(orders, customer, left_key="o_custkey",
                                 right_key="c_custkey",
                                 carry_cols=["c_nationkey"])
-    enriched = broadcast_lookup_join(enriched, nation, left_key="c_nationkey",
-                                     right_key="n_nationkey",
-                                     carry_cols=["n_name"])
+    return broadcast_lookup_join(enriched, nation, left_key="c_nationkey",
+                                 right_key="n_nationkey",
+                                 carry_cols=["n_name"])
+
+
+def revenue_by_nation(sf_dir: str):
+    """Snowflake enrichment with ZERO shuffles on the fact side: orders →
+    customer (broadcast) → nation (broadcast), then a partial-aggregated
+    groupby on the tiny (nation) key space."""
+    enriched = _orders_by_nation(sf_dir, ["o_totalprice"])
     agg = enriched.groupby("n_name").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
         Count(alias_name="n_orders"))
@@ -1249,23 +1256,7 @@ def rollup_revenue(sf_dir: str):
     at any data scale the rollup input is |nations|×|priorities| rows."""
     import pandas as pd
 
-    from crn_meta_validate_ray.stages.broadcast import (broadcast_lookup_join,
-                                                        lookup_join_auto)
-
-    orders = rd.read_parquet(_p(sf_dir, "orders"),
-                             columns=["o_custkey", "o_totalprice",
-                                      "o_orderpriority"])
-    customer = rd.read_parquet(_p(sf_dir, "customer"),
-                               columns=["c_custkey", "c_nationkey"])
-    nation = rd.read_parquet(_p(sf_dir, "nation"),
-                             columns=["n_nationkey", "n_name"])
-    enriched = lookup_join_auto(orders, customer, left_key="o_custkey",
-                                right_key="c_custkey",
-                                carry_cols=["c_nationkey"])
-    enriched = broadcast_lookup_join(enriched, nation,
-                                     left_key="c_nationkey",
-                                     right_key="n_nationkey",
-                                     carry_cols=["n_name"])
+    enriched = _orders_by_nation(sf_dir, ["o_totalprice", "o_orderpriority"])
     base = enriched.groupby(["n_name", "o_orderpriority"]).aggregate(
         Sum("o_totalprice", alias_name="revenue"),
         Count(alias_name="n_orders")).to_pandas()
@@ -1278,7 +1269,10 @@ def rollup_revenue(sf_dir: str):
         "revenue": base["revenue"].sum(),
         "n_orders": base["n_orders"].sum()}])
     out = pd.concat([base, lvl1, total], ignore_index=True)
-    out["revenue"] = out["revenue"].round(2)
+    # half-away-from-zero to match DuckDB's round() (pandas .round is
+    # half-even) — same pc.round convention as every sibling query
+    out["revenue"] = pc.round(pa.array(out["revenue"], type=pa.float64()),
+                              2).to_numpy(zero_copy_only=False)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     cols = ["n_name", "o_orderpriority", "revenue", "n_orders"]
     return out[cols].sort_values(["n_name", "o_orderpriority"],

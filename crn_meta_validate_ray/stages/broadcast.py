@@ -129,6 +129,18 @@ def broadcast_lookup_join(
 
 
 BROADCAST_MAX_DIM_ROWS = 5_000_000
+BROADCAST_MAX_DIM_BYTES = 256 * 1024 * 1024  # keys + carries per worker heap
+
+
+def _arrow_field_type(ds: "rd.Dataset", name: str):
+    try:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema) and name in base.names:
+            return base.field(name).type
+    except Exception:
+        pass
+    return None
 
 
 def lookup_join_auto(
@@ -139,22 +151,35 @@ def lookup_join_auto(
     right_key: str,
     carry_cols: list[str],
     broadcast_max_rows: int = BROADCAST_MAX_DIM_ROWS,
+    broadcast_max_bytes: int = BROADCAST_MAX_DIM_BYTES,
 ) -> "rd.Dataset":
     """Dimension enrichment with a size-gated strategy: broadcast lookup
     (map-only, zero fact-side shuffle) while the dim fits the object-store
-    budget, else the large-large shuffle hash join (``how='left'``) — the
-    broadcast assumption must NEVER be implicit at 100-TB scale, where a
-    "dimension" like customers can be billions of rows.
+    budget, else the large-large shuffle hash join — the broadcast
+    assumption must NEVER be implicit at 100-TB scale, where a "dimension"
+    like customers can be billions of rows.
 
-    Semantics note: the broadcast path requires a UNIQUE dim key (raises
-    on duplicates); the shuffle path follows SQL left-join semantics and
-    would emit one row per match."""
-    if dim.count() <= broadcast_max_rows:
-        return broadcast_lookup_join(ds, dim, left_key=left_key,
+    Semantics are IDENTICAL on both paths — this is a LOOKUP join, one
+    carry row per key: the broadcast build raises on duplicate dim keys
+    and the shuffle path enforces the same contract per bucket
+    (``validate_unique_right``).  Eligibility for the broadcast path is
+    rows AND bytes (the budget is a worker heap, not a row count) AND
+    integer join keys on both sides (the sorted-array lookup is int64);
+    any other key type takes the shuffle path at every size, so results
+    never depend on which side of the gate the data lands."""
+    narrow = dim.select_columns([right_key] + carry_cols).materialize()
+    kt_dim = _arrow_field_type(narrow, right_key)
+    kt_fact = _arrow_field_type(ds, left_key)
+    int_keys = (kt_dim is not None and pa.types.is_integer(kt_dim)
+                and kt_fact is not None and pa.types.is_integer(kt_fact))
+    # count()/size_bytes() are metadata reads on the materialized dim —
+    # no second execution of the dim plan
+    if (int_keys and narrow.count() <= broadcast_max_rows
+            and narrow.size_bytes() <= broadcast_max_bytes):
+        return broadcast_lookup_join(ds, narrow, left_key=left_key,
                                      right_key=right_key,
                                      carry_cols=carry_cols)
     from crn_meta_validate_ray.stages.shufflejoin import hash_join
 
-    narrow = dim.select_columns([right_key] + carry_cols)
     return hash_join(ds, narrow, left_on=left_key, right_on=right_key,
-                     how="left")
+                     how="left", validate_unique_right=True)

@@ -118,11 +118,13 @@ def parse_wav(p: bytes):
     if n_ch < 1 or rate <= 0:
         return None
     if audio_fmt == 1 and bits == 16:
+        data = data[: len(data) - len(data) % 2]  # tolerate truncation
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif audio_fmt == 1 and bits == 8:
         x = (np.frombuffer(data, dtype=np.uint8)
              .astype(np.float32) - 128.0) / 128.0
     elif audio_fmt == 3 and bits == 32:
+        data = data[: len(data) - len(data) % 4]
         x = np.frombuffer(data, dtype="<f4").astype(np.float32)
     else:
         return None  # compressed / exotic formats → stub fallback
@@ -304,6 +306,11 @@ def frame_sample_plan(ds: "rd.Dataset", every_ms: int = 500) -> "rd.Dataset":
         # repeat/arange — no Python loop over rows or frames
         n_frames = np.maximum(-(-durs // every_ms), 0)
         n_frames[durs <= 0] = 0
+        if len(n_frames) == 0 or n_frames.sum() == 0:
+            return pa.table({
+                "media_id": pa.array([], type=pa.int64()),
+                "frame_idx": pa.array([], type=pa.int32()),
+                "ts_ms": pa.array([], type=pa.int32())})
         ids = np.repeat(mids, n_frames)
         starts = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
         fidx = np.arange(int(n_frames.sum()), dtype=np.int64) \

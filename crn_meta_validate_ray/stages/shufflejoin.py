@@ -61,7 +61,7 @@ def _join_schema(left_schema: pa.Schema, right_schema: pa.Schema,
 
 def _join_bucket(left_on, right_on, how, suffix, post, n_left,
                  empty_left, empty_right, out_schema, salted,
-                 *parts) -> pa.Table:
+                 unique_right, *parts) -> pa.Table:
     """Reduce task: gather this bucket's left/right parts and join."""
     parts = flatten_parts(parts)
     lparts = [p for p in parts[:n_left] if p is not None and p.num_rows]
@@ -70,6 +70,17 @@ def _join_bucket(left_on, right_on, how, suffix, post, n_left,
     rt = pa.concat_tables(rparts) if rparts else empty_right
     ldf = lt.to_pandas()
     rdf = rt.to_pandas()
+    if unique_right and not salted:
+        # lookup contract: one right row per key.  Equal keys always land
+        # in the same bucket, so the check is bucket-local and free of any
+        # extra exchange.
+        nn = rdf[rdf[right_on].notna()]
+        dup = nn[right_on][nn[right_on].duplicated()]
+        if len(dup):
+            raise ValueError(
+                f"hash_join: right key {right_on!r} is not unique "
+                f"(e.g. {dup.iloc[0]!r}) but validate_unique_right was "
+                "requested — deduplicate the right side first")
     # SQL NULL-key semantics: a null never equi-matches (pandas would
     # match NaN == NaN); right nulls can never produce a match, and for
     # inner joins neither can left nulls.  Left nulls stay for left/anti
@@ -99,15 +110,21 @@ def _join_bucket(left_on, right_on, how, suffix, post, n_left,
             ldf = ldf[ldf[left_on].notna()]
         out = ldf.merge(rdf, how=how, left_on=keys_l, right_on=keys_r,
                         suffixes=("", suffix))
-        if how == "outer" and right_on != left_on \
-                and right_on in out.columns:
+        # the right KEY column survives the merge when the names differ;
+        # if the left side also carries a data column named ``right_on``,
+        # pandas suffixed the right key instead — resolve the actual name
+        # so we never coalesce from / drop an unrelated left column
+        rkey_col = None
+        if right_on != left_on:
+            rkey_col = (right_on + suffix if right_on in ldf.columns
+                        else right_on)
+        if how == "outer" and rkey_col is not None \
+                and rkey_col in out.columns:
             # USING-style coalesced key for right-only rows
             out[left_on] = out[left_on].where(out[left_on].notna(),
-                                              out[right_on])
-        drop = [c for c in ([right_on] if right_on != left_on else [])
-                if c in out.columns]
-        if drop:
-            out = out.drop(columns=drop)
+                                              out[rkey_col])
+        if rkey_col is not None and rkey_col in out.columns:
+            out = out.drop(columns=[rkey_col])
         if rnull is not None and len(rnull):
             # right rows with NULL keys: unmatched in SQL FULL OUTER; the
             # coalesced key stays NULL.  Map right column names through
@@ -153,11 +170,14 @@ def hash_join(
     suffix: str = "_r",
     post=None,
     salt: int | None = None,
+    validate_unique_right: bool = False,
 ) -> "rd.Dataset":
     """Distributed equi-join of two Datasets on a hashed key exchange.
 
-    ``how``: 'inner' | 'left' | 'semi' | 'anti' (semi/anti return left
-    rows filtered by key membership on the right — no right columns).
+    ``how``: 'inner' | 'left' | 'outer' | 'semi' | 'anti' (semi/anti
+    return left rows filtered by key membership on the right — no right
+    columns; 'outer' is a FULL OUTER join with a USING-style coalesced
+    key in ``left_on`` and no ``salt`` support).
     ``post(df) -> df | pa.Table`` runs inside each bucket task on the
     joined frame (use it to partial-aggregate before the rows ship).
     Callers should ``select_columns`` both sides first — every shipped
@@ -170,7 +190,13 @@ def hash_join(
     one.  Every left row still joins exactly one right copy, so results
     are identical for all ``how`` modes; the price is ``s``× right-side
     shuffle bytes (salt a join only when the right side is the smaller
-    one)."""
+    one).
+
+    ``validate_unique_right=True`` enforces the LOOKUP contract (one
+    right row per non-null key) inside each bucket and raises on a
+    duplicate — use it when a silent fan-out would corrupt downstream
+    aggregates.  Ignored for salted joins (the right side is replicated
+    by construction)."""
     import ray
 
     if how not in _HOW:
@@ -263,6 +289,7 @@ def hash_join(
     out_refs = [
         join_task.remote(left_on, right_on, how, suffix, post, len(lsplit),
                          el_ref, er_ref, out_schema, salted,
+                         validate_unique_right,
                          *[s[b] for s in lsplit], *[s[b] for s in rsplit])
         for b in range(num_buckets)
     ]

@@ -209,3 +209,29 @@ def test_decode_media_real_audio_path(ray_session):
     # with high variance — check the envelope is tight and plausible
     assert (np.abs(feats - feats.mean(axis=1, keepdims=True)) < 0.1).all()
     assert ((feats.mean(axis=1) > 0.2) & (feats.mean(axis=1) < 0.45)).all()
+
+
+def test_frame_sample_plan_no_video_rows(ray_session):
+    """A batch with zero video rows must yield an empty plan, not a
+    np.repeat broadcast error."""
+    import pyarrow as pa
+    t = pa.table({
+        "media_id": pa.array([0, 1], type=pa.int64()),
+        "kind": pa.array(["image", "audio"]),
+        "duration_ms": pa.array([0, 1200], type=pa.int32()),
+    })
+    plan = frame_sample_plan(rd.from_arrow(t), every_ms=500).take_all()
+    assert plan == []
+
+
+def test_wav_truncated_data_chunk_returns_none_or_parses():
+    """Truncated/odd-length data chunks must not crash the decode actor:
+    parse drops the partial trailing sample instead of raising."""
+    import numpy as np
+    from crn_meta_validate_ray.stages.multimodal import parse_wav, wav_bytes
+    x = 0.25 * np.sin(np.arange(400) / 10.0)
+    p = wav_bytes(x, 8000)
+    got = parse_wav(p[:-1])  # odd-length PCM16 data
+    assert got is not None
+    samples, rate = got
+    assert rate == 8000 and len(samples) == 399

@@ -207,3 +207,63 @@ def test_hash_join_outer(ray_session):
     with pytest.raises(ValueError):
         hash_join(rd.from_pandas(left), rd.from_pandas(right),
                   left_on="k", right_on="rk", how="outer", salt=2)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+def test_hash_join_left_data_column_named_like_right_key(ray_session, how):
+    """A LEFT data column that happens to share the right key's name must
+    survive untouched; pandas suffixes the right key instead, and the
+    coalesce/drop must target the suffixed right key, not the left data."""
+    left = pd.DataFrame({"k": [1, 2, 3], "rk": ["a", "b", "c"],
+                         "lv": [10, 20, 30]})
+    right = pd.DataFrame({"rk": [2, 3, 4], "rv": [200, 300, 400]})
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    left_on="k", right_on="rk", how=how,
+                    num_buckets=3).to_pandas()
+    matched = got[got["lv"] == 20]
+    assert matched["rv"].iloc[0] == 200
+    assert matched["rk"].iloc[0] == "b"  # left data column intact
+    if how == "inner":
+        assert len(got) == 2
+    elif how == "left":
+        assert len(got) == 3
+        assert got[got["lv"] == 10]["rv"].isna().all()
+    else:
+        assert len(got) == 4
+        right_only = got[got["rv"] == 400]
+        assert right_only["k"].iloc[0] == 4  # coalesced from right key
+        assert right_only["rk"].isna().all()
+
+
+def test_hash_join_validate_unique_right(ray_session):
+    left = pd.DataFrame({"k": [1, 2], "lv": [10, 20]})
+    dup = pd.DataFrame({"rk": [2, 2, 3], "rv": [200, 201, 300]})
+    uniq = dup.drop_duplicates("rk")
+    ok = hash_join(rd.from_pandas(left), rd.from_pandas(uniq),
+                   left_on="k", right_on="rk", how="left",
+                   num_buckets=3, validate_unique_right=True).to_pandas()
+    assert len(ok) == 2
+    with pytest.raises(Exception, match="not unique|RayTaskError"):
+        hash_join(rd.from_pandas(left), rd.from_pandas(dup),
+                  left_on="k", right_on="rk", how="left",
+                  num_buckets=3, validate_unique_right=True).take_all()
+
+
+def test_lookup_join_auto_string_keys_and_dup_contract(ray_session):
+    """String join keys are ineligible for the int64 broadcast lookup and
+    must take the shuffle path at ANY size; duplicate dim keys raise on
+    BOTH paths (identical lookup semantics across the gate)."""
+    from crn_meta_validate_ray.stages.broadcast import lookup_join_auto
+
+    fact = pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+    dim = pd.DataFrame({"dk": ["a", "b"], "name": ["A", "B"]})
+    out = lookup_join_auto(rd.from_pandas(fact), rd.from_pandas(dim),
+                           left_key="k", right_key="dk",
+                           carry_cols=["name"]).to_pandas()
+    assert sorted(out["name"]) == ["A", "A", "B"]
+
+    dup = pd.DataFrame({"dk": ["a", "a"], "name": ["A1", "A2"]})
+    with pytest.raises(Exception, match="not unique|RayTaskError"):
+        lookup_join_auto(rd.from_pandas(fact), rd.from_pandas(dup),
+                         left_key="k", right_key="dk",
+                         carry_cols=["name"]).take_all()
