@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q.fingerprint_documents,
         "quality_documents": q.quality_documents,
         "langid_documents": q.langid_documents,
+        "repetition_documents": q.repetition_documents,
         "props_stats_events": q.props_stats_events,
         "sample_documents": q.sample_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
@@ -337,6 +338,22 @@ def oracle_sql() -> dict[str, str]:
                        + exp(-0.5 * pow((mean_tok - 5.0) / 3.0, 2)) * 0.2,
                        6) AS quality_score
             FROM r
+        """,
+        "repetition_documents": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(string_split(coalesce(text, ''), chr(10))) AS nl,
+                       len(list_distinct(
+                           string_split(coalesce(text, ''), chr(10)))) AS nd
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(nl AS BIGINT) AS n_lines,
+                   CAST(nd AS BIGINT) AS n_distinct_lines,
+                   round((nl - nd) / greatest(nl, 1)::DOUBLE, 6)
+                       AS dup_line_frac,
+                   (nl - nd) * 10 > 3 * nl AS is_repetitive
+            FROM c
         """,
         "langid_documents": r"""
             WITH c AS (

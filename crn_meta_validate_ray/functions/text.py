@@ -124,6 +124,42 @@ def fingerprint64(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(h.astype(np.int64)))
 
 
+def line_repetition_stats(batch: pa.Table, text_col: str = "text"
+                          ) -> pa.Table:
+    """Gopher-style repetition signal: per-document duplicate-line
+    fraction.  Fully vectorized — one Arrow split into a list array, one
+    pandas hash over the flattened lines, one lexsort to count distinct
+    (doc, line) pairs; no Python loop over documents or lines.
+
+    Line identity is by 64-bit hash (pd.util.hash_array): a collision
+    would under-count distincts, negligible at any realistic corpus size
+    but noted for exactness-sensitive comparisons.
+
+    Returns columns: n_lines, n_distinct_lines (int64).  An empty text
+    counts as one (empty) line — matching SQL ``string_split``."""
+    text = pc.fill_null(batch[text_col], "")
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    offs = np.asarray(lines.offsets)
+    n_lines = np.diff(offs).astype(np.int64)
+    flat = np.asarray(lines.flatten().to_pandas(), dtype=object)
+    if len(flat):
+        h = pd.util.hash_array(flat)
+        doc_idx = np.repeat(np.arange(len(n_lines), dtype=np.int64), n_lines)
+        order = np.lexsort((h, doc_idx))
+        hs, di = h[order], doc_idx[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (di[1:] != di[:-1])
+        n_distinct = np.bincount(di[first], minlength=len(n_lines)) \
+            .astype(np.int64)
+    else:
+        n_distinct = np.zeros(len(n_lines), dtype=np.int64)
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_lines", pa.array(n_lines))
+    return out.append_column("n_distinct_lines", pa.array(n_distinct))
+
+
 def json_scalar_int(col: pa.Array | pa.ChunkedArray, field: str) -> pa.Array:
     """Extract an integer field from a FLAT JSON-object string column with
     one vectorized Arrow regex (null where the field is absent).  This is

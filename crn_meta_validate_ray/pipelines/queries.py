@@ -489,6 +489,31 @@ def quality_documents(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def repetition_documents(sf_dir: str):
+    """Gopher-style repetition quality filter: per-document duplicate-line
+    fraction (functions/text.line_repetition_stats, fully vectorized), with
+    the repetition verdict computed in EXACT integer arithmetic so the
+    boolean hash-matches the DuckDB oracle bit-for-bit."""
+    from crn_meta_validate_ray.functions.text import line_repetition_stats
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = line_repetition_stats(t)
+        nl = np.asarray(s["n_lines"], dtype=np.int64)
+        nd = np.asarray(s["n_distinct_lines"], dtype=np.int64)
+        frac = (nl - nd) / np.maximum(nl, 1)
+        return pa.table({
+            "doc_id": s["doc_id"],
+            "n_lines": s["n_lines"],
+            "n_distinct_lines": s["n_distinct_lines"],
+            "dup_line_frac": pc.round(pa.array(frac, type=pa.float64()), 6),
+            # dup_frac > 0.3 without float compare: (nl-nd)*10 > 3*nl
+            "is_repetitive": pa.array((nl - nd) * 10 > 3 * nl),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def langid_documents(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(lambda t: langid_features(t).drop_columns(["text"]),

@@ -124,3 +124,28 @@ def test_deterministic_sample_mask_stable_and_sql_compatible():
     assert 0.05 < m1.mean() < 0.45
     m_all = deterministic_sample_mask(col, rate_pct=100)
     assert m_all.all()
+
+
+def test_line_repetition_stats_matches_duckdb():
+    """Gopher-style duplicate-line fraction: engine (vectorized hash +
+    lexsort distinct count) vs DuckDB list_distinct over string_split."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from crn_meta_validate_ray.functions.text import line_repetition_stats
+
+    texts = ["a\nb\na\na", "", None, "x", "same\nsame\nsame", "a\n",
+             "\n\n", "one two\nthree\none two"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    s = line_repetition_stats(t)
+    got = list(zip(np.asarray(s["n_lines"]).tolist(),
+                   np.asarray(s["n_distinct_lines"]).tolist()))
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.execute("""
+        SELECT len(string_split(coalesce(text,''), chr(10))),
+               len(list_distinct(string_split(coalesce(text,''), chr(10))))
+        FROM docs ORDER BY doc_id""").fetchall()
+    assert got == [tuple(w) for w in want]
