@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": q.quality_documents,
         "langid_documents": q.langid_documents,
         "repetition_documents": q.repetition_documents,
+        "label_centroids_embeddings": q.label_centroids_embeddings,
         "props_stats_events": q.props_stats_events,
         "sample_documents": q.sample_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
@@ -338,6 +339,16 @@ def oracle_sql() -> dict[str, str]:
                        + exp(-0.5 * pow((mean_tok - 5.0) / 3.0, 2)) * 0.2,
                        6) AS quality_score
             FROM r
+        """,
+        "label_centroids_embeddings": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(CAST(v AS DOUBLE)), 5) AS mean_v
+            FROM (SELECT label, unnest(embedding) AS v,
+                         unnest(range(1, len(embedding) + 1)) AS pos
+                  FROM embeddings)
+            GROUP BY label, pos
         """,
         "repetition_documents": """
             WITH c AS (

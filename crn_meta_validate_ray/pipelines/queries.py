@@ -520,6 +520,55 @@ def langid_documents(sf_dir: str):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def label_centroids_embeddings(sf_dir: str):
+    """Per-label centroid (element-wise mean vector, long format) — the
+    k-means E-step / class-prototype building block.  Batch-local
+    combiner: each batch folds its vectors into |labels|×d partial sums
+    (unique + scatter-add), so only tiny (label, pos, s, n) partials cross
+    the exchange; the groupby merges partials and the mean is taken on the
+    merged sums.  float64 accumulation on both sides; round(5) absorbs
+    summation-order ULP differences vs the DuckDB avg oracle."""
+    from crn_meta_validate_ray.stages.similarity import _matrix
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _matrix(t, "embedding").astype(np.float64)
+        if m.size == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        labels = np.asarray(t["label"].to_pandas(), dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, d))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["label", "pos"]).aggregate(Sum("s", alias_name="s"),
+                                             Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"], dtype=np.float64)
+        n = np.asarray(t["n"], dtype=np.float64)
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int64()),
+            "pos": pc.cast(t["pos"], pa.int64()),
+            "n_vecs": pa.array(n.astype(np.int64)),
+            "mean_v": pc.round(pa.array(s / n, type=pa.float64()), 5)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def minhash_pairs_documents(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)

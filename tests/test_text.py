@@ -149,3 +149,28 @@ def test_line_repetition_stats_matches_duckdb():
                len(list_distinct(string_split(coalesce(text,''), chr(10))))
         FROM docs ORDER BY doc_id""").fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_label_centroids_matches_duckdb(ray_session):
+    """Per-label centroid partials merge to the same element-wise means
+    DuckDB computes with avg over zipped unnest."""
+    import duckdb
+
+    from crn_meta_validate_ray.pipelines.queries import (
+        label_centroids_embeddings)
+
+    sf = "/root/testdata/sf0.001"
+    got = label_centroids_embeddings(sf).to_pandas() \
+        .sort_values(["label", "pos"]).reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(CAST(v AS DOUBLE)), 5) AS mean_v
+        FROM (SELECT label, unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM '{sf}/embeddings.parquet')
+        GROUP BY label, pos ORDER BY label, pos""").df()
+    assert got["label"].tolist() == want["label"].tolist()
+    assert got["n_vecs"].tolist() == want["n_vecs"].tolist()
+    assert (got["mean_v"] - want["mean_v"]).abs().max() < 1e-9
