@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": q.langid_documents,
         "repetition_documents": q.repetition_documents,
         "label_centroids_embeddings": q.label_centroids_embeddings,
+        "mixture_sample_documents": q.mixture_sample_documents,
         "props_stats_events": q.props_stats_events,
         "sample_documents": q.sample_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
@@ -339,6 +340,13 @@ def oracle_sql() -> dict[str, str]:
                        + exp(-0.5 * pow((mean_tok - 5.0) / 3.0, 2)) * 0.2,
                        6) AS quality_score
             FROM r
+        """,
+        "mixture_sample_documents": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(concat('0x', substr(md5(concat('mix:',
+                           CAST(doc_id AS VARCHAR))), 1, 8))
+                       AS BIGINT) % 100
+                  < least(10 + 5 * CAST(substr(source, 4) AS BIGINT), 100)
         """,
         "label_centroids_embeddings": """
             SELECT CAST(label AS BIGINT) AS label,

@@ -181,13 +181,22 @@ def deterministic_sample_mask(col: pa.Array | pa.ChunkedArray, *,
     ``CAST(concat('0x', substr(md5(v), 1, 8)) AS BIGINT) % 100``).
     Per-cell hashlib — pair with ``fingerprint64`` + modulo for the
     numpy-vectorized scale path when SQL parity is not needed."""
+    return deterministic_hash_pct(col, salt=salt) < rate_pct
+
+
+def deterministic_hash_pct(col: pa.Array | pa.ChunkedArray, *,
+                           salt: str = "") -> np.ndarray:
+    """md5(salt + value) → first 32 bits mod 100, per row — the shared
+    primitive behind deterministic (and per-row-rate mixture) sampling.
+    SQL-replicable with the same expression as
+    ``deterministic_sample_mask``."""
     vals = col.to_pylist()
-    keep = np.zeros(len(vals), dtype=bool)
+    out = np.empty(len(vals), dtype=np.int64)
     for i, v in enumerate(vals):
         h = hashlib.md5((salt + ("" if v is None else str(v)))
                         .encode("utf-8")).hexdigest()
-        keep[i] = int(h[:8], 16) % 100 < rate_pct
-    return keep
+        out[i] = int(h[:8], 16) % 100
+    return out
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:

@@ -520,6 +520,27 @@ def langid_documents(sf_dir: str):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mixture_sample_documents(sf_dir: str):
+    """Weighted source-mixture sampling — the training-data mixing step:
+    each source gets its own keep rate (here min(10 + 5·source_idx, 100)%)
+    applied through the stable md5 Bernoulli hash on doc_id, so the same
+    document lands in the same mixture regardless of partitioning, run or
+    cluster size.  Map-only: the filter streams, nothing shuffles."""
+    from crn_meta_validate_ray.functions.text import deterministic_hash_pct
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        pct = deterministic_hash_pct(t["doc_id"], salt="mix:")
+        src_num = np.asarray(pc.cast(pc.utf8_slice_codeunits(
+            pc.fill_null(t["source"], "src0"), 3, 32), pa.int64())
+            .to_pandas(), dtype=np.int64)
+        rate = np.minimum(10 + 5 * src_num, 100)
+        return t.filter(pa.array(pct < rate))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def label_centroids_embeddings(sf_dir: str):
     """Per-label centroid (element-wise mean vector, long format) — the
     k-means E-step / class-prototype building block.  Batch-local

@@ -174,3 +174,27 @@ def test_label_centroids_matches_duckdb(ray_session):
     assert got["label"].tolist() == want["label"].tolist()
     assert got["n_vecs"].tolist() == want["n_vecs"].tolist()
     assert (got["mean_v"] - want["mean_v"]).abs().max() < 1e-9
+
+
+def test_mixture_sample_matches_direct_recompute(ray_session):
+    """Weighted source-mixture sampling keeps exactly the rows whose
+    md5-percent falls under the per-source rate, independent of
+    partitioning."""
+    import hashlib
+
+    from crn_meta_validate_ray.pipelines.queries import (
+        mixture_sample_documents)
+
+    sf = "/root/testdata/sf0.001"
+    got = set(mixture_sample_documents(sf).to_pandas()["doc_id"])
+    import pyarrow.parquet as pq
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "source"]).to_pandas()
+    want = set()
+    for did, src in zip(df["doc_id"], df["source"]):
+        pct = int(hashlib.md5(f"mix:{did}".encode()).hexdigest()[:8],
+                  16) % 100
+        rate = min(10 + 5 * int(str(src)[3:]), 100)
+        if pct < rate:
+            want.add(did)
+    assert got == want and len(want) > 0
