@@ -111,7 +111,17 @@ def broadcast_lookup_join(
     so an actor pool would only add spin-up latency.  Pass a
     ``concurrency`` tuple to use an actor pool anyway (e.g. when composing
     with stages that need one)."""
-    mat = dim.select_columns([right_key] + carry_cols).materialize()
+    from ray.data.dataset import MaterializedDataset
+
+    cols = [right_key] + carry_cols
+    if isinstance(dim, MaterializedDataset) and \
+            [f.name for f in (getattr(dim.schema(), "base_schema", None)
+                              or [])] == cols:
+        # already the exact narrow projection (e.g. from lookup_join_auto's
+        # gate) — a second select+materialize would copy the dim again
+        mat = dim
+    else:
+        mat = dim.select_columns(cols).materialize()
     refs = mat.to_arrow_refs()
     build = ray.remote(_build_dim)
     dim_ref = build.remote(right_key, carry_cols, *refs)
