@@ -216,6 +216,24 @@ def _reduce_bucket(bucket_fn, batch_format: str, empty_block: pa.Table,
     return bucket_fn(t)
 
 
+def empty_exemplar(block_refs, columns: list[str],
+                   scan_limit: int = 64) -> pa.Table:
+    """Zero-row exemplar carrying ``columns``' types, from the first block
+    that has them.  ``map_batches`` SKIPS empty input blocks and emits a
+    zero-schema empty block instead, and ``to_arrow_refs`` block order is
+    nondeterministic — so the first ref may be a stale-schema empty table
+    and must not be trusted blindly.  Falls back to a zero-column table
+    (callers' bucket fns guard ``df.empty`` so a schema-less empty input is
+    handled) when no scanned block carries the columns."""
+    import ray
+
+    for r in block_refs[:scan_limit]:
+        t = ray.get(r)
+        if all(c in t.column_names for c in columns):
+            return t.slice(0, 0).select(columns)
+    return pa.table({})
+
+
 def grouped_map(
     ds: "rd.Dataset",
     keys: list[str],

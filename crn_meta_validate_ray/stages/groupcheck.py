@@ -521,6 +521,7 @@ def group_check_findings(
     import ray
 
     from crn_meta_validate_ray.stages.common import (_split_block,
+                                                     empty_exemplar,
                                                      resolve_num_buckets)
     nb = resolve_num_buckets(num_buckets)
     block_refs = prepped.to_arrow_refs()
@@ -530,7 +531,9 @@ def group_check_findings(
                                  preserve_index=False)))
     split_task = ray.remote(num_returns=nb)(_split_block)
     reduce_task = ray.remote(num_returns=2)(_stage_a_reduce)
-    empty_ref = ray.put(ray.get(block_refs[0]).slice(0, 0).select(ship))
+    # NOT block_refs[0]: an empty input file yields a zero-schema empty
+    # block (map_batches skips empty blocks) that may land first
+    empty_ref = ray.put(empty_exemplar(block_refs, ship))
     n_split = max(1, min(len(block_refs), nb))
     chunk = -(-len(block_refs) // n_split)
     chunks = [block_refs[i:i + chunk]

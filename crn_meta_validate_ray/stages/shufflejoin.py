@@ -247,7 +247,13 @@ def hash_join(
                 return base
         except Exception:
             pass
-        return ray.get(refs[0]).schema if refs else pa.schema([])
+        # skip zero-schema empty blocks (map_batches skips empty inputs
+        # and emits schema-less blocks; ref order is nondeterministic)
+        for r in refs[:64]:
+            s = ray.get(r).schema
+            if s.names:
+                return s
+        return pa.schema([])
 
     salted = len(join_keys_l) > 1
     lschema_full = _arrow_schema(left, lrefs)

@@ -384,3 +384,23 @@ def test_prefold_block_parity(ray_session):
     assert sk_raw.keys() == sk_pre.keys()
     for k in sk_raw:
         assert abs(sk_raw[k].estimate() - sk_pre[k].estimate()) < 1e-9
+
+
+def test_empty_exemplar_skips_zero_schema_blocks(ray_session):
+    """map_batches skips empty input blocks and emits a zero-schema empty
+    block; to_arrow_refs order is nondeterministic, so the exemplar scan
+    must not trust the first ref (regression: flaky KeyError '__grp' in
+    the group-check exchange when the empty block landed first)."""
+    import ray
+
+    from crn_meta_validate_ray.stages.common import empty_exemplar
+
+    real = pa.table({"__grp": ["a"], "__idx": [1]})
+    refs = [ray.put(pa.table({})), ray.put(real)]
+    ex = empty_exemplar(refs, ["__grp", "__idx"])
+    assert ex.num_rows == 0
+    assert ex.column_names == ["__grp", "__idx"]
+    assert ex.schema.field("__idx").type == pa.int64()
+    # all-stale: falls back to a zero-column table (bucket fns guard empty)
+    ex2 = empty_exemplar([ray.put(pa.table({}))], ["__grp"])
+    assert ex2.num_rows == 0 and ex2.num_columns == 0
