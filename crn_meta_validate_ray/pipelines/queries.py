@@ -536,7 +536,9 @@ def mixture_sample_documents(sf_dir: str):
             pc.fill_null(t["source"], "src0"), 3, 32), pa.int64())
             .to_pandas(), dtype=np.int64)
         rate = np.minimum(10 + 5 * src_num, 100)
-        return t.filter(pa.array(pct < rate))
+        # null source ⇒ NULL rate in SQL ⇒ row dropped — mirror that
+        keep = (pct < rate) & np.asarray(pc.is_valid(t["source"]))
+        return t.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
