@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_roundtrip_documents": q.sink_roundtrip_documents,
         "multienum_violations_documents": q.multienum_violations_documents,
         "timestamp_violations_events": q.timestamp_violations_events,
+        "decontam_documents": q.decontam_documents,
+        "corpus_prep_documents": q.corpus_prep_documents,
         "dedup_keep_first_documents": q.dedup_keep_first_documents,
         "minhash_pairs_documents": q.minhash_pairs_documents,
         "simhash_pairs_documents": q.simhash_pairs_documents,
@@ -477,6 +479,81 @@ def oracle_sql() -> dict[str, str]:
                       regexp_replace(ts_str, '(:[0-9]{2})\.[0-9]+$', '\1'),
                       ['%Y-%m-%dT%H:%M:%S', '%Y-%m-%d %H:%M:%S',
                        '%Y-%m-%d']) IS NULL
+        """,
+        "decontam_documents": r"""
+            WITH g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2,
+                        CASE WHEN len(toks) > 0 AND len(toks) < 3
+                             THEN 1 ELSE 0 END)),
+                    i -> CASE WHEN len(toks) >= 3
+                              THEN toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]
+                              ELSE array_to_string(toks, ' ') END)) AS grams
+                FROM (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+')
+                                 AS toks
+                      FROM documents)
+            ), ev AS (
+                SELECT DISTINCT unnest(grams) AS gm FROM g
+                WHERE doc_id % 97 = 0
+            )
+            SELECT t.doc_id, count(*) AS n_shared_grams
+            FROM (SELECT doc_id, unnest(grams) AS gm FROM g
+                  WHERE doc_id % 97 <> 0) t
+            JOIN ev ON t.gm = ev.gm
+            GROUP BY t.doc_id
+        """,
+        "corpus_prep_documents": rf"""
+            WITH c AS (
+                SELECT doc_id, text,
+                       length(coalesce(text, '')) AS nc,
+                       length(regexp_extract_all(coalesce(text, ''), '\S+'))
+                           AS nt,
+                       length(regexp_extract_all(coalesce(text, ''),
+                              '[!-/:-@\[-`{{-~]')) AS np,
+                       length(regexp_extract_all(coalesce(text, ''),
+                              '(?i)\b(?:{stop_alt})\b')) AS ns,
+                       len(string_split(coalesce(text, ''), chr(10))) AS nl,
+                       len(list_distinct(
+                           string_split(coalesce(text, ''), chr(10)))) AS nd
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, text, nt, nl, nd,
+                       round(
+                           least(greatest(nt / 50.0, 0), 1) * 0.3
+                           + least(greatest(
+                               (ns / greatest(nt, 1)::DOUBLE) / 0.4, 0), 1)
+                               * 0.3
+                           + (1 - least(greatest(
+                               (np / greatest(nc, 1)::DOUBLE) / 0.2, 0), 1))
+                               * 0.2
+                           + exp(-0.5 * pow(
+                               (nc / greatest(nt, 1)::DOUBLE - 5.0) / 3.0,
+                               2)) * 0.2,
+                           6) AS score
+                FROM c
+            ), keep AS (
+                SELECT doc_id, md5(text) AS fp,
+                       CAST(nt AS BIGINT) AS n_tokens
+                FROM scored
+                WHERE score >= 0.65 AND (nl - nd) * 10 <= 3 * nl
+            ), kept AS (
+                SELECT k.doc_id, k.n_tokens FROM keep k
+                JOIN (SELECT fp, min(doc_id) AS keep_id FROM keep
+                      GROUP BY fp) f
+                  ON k.doc_id = f.keep_id
+            ), scan AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS run_sum
+                FROM kept
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+                   CAST(floor((run_sum - n_tokens) / 1024.0) AS BIGINT)
+                       AS bin_id
+            FROM scan
         """,
         "dedup_keep_first_documents": """
             SELECT d.doc_id, d.text, d.lang FROM documents d

@@ -592,6 +592,81 @@ def label_centroids_embeddings(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def decontam_documents(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.py): documents sharing a
+    word 3-gram with the deterministic eval subset (doc_id % 97 == 0).
+    Broadcast gram-set membership — map-only, nothing shuffles; the gram
+    construction (distinct 3-grams, whole-doc gram under 3 tokens) mirrors
+    the jaccard oracle CTE so the SQL intersection counts match."""
+    from crn_meta_validate_ray.stages.decontam import decontaminate
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def split(pred_keep_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+            m = (ids % 97 == 0) if pred_keep_eval else (ids % 97 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    eval_ds = ds.map_batches(split(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    train_ds = ds.map_batches(split(False), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return decontaminate(train_ds, eval_ds)
+
+
+def corpus_prep_documents(sf_dir: str):
+    """Composed training-data pipeline — the headline document flow:
+    quality filter (rounded score ≥ 0.65, same arithmetic as
+    quality_documents so the threshold compare is oracle-exact) →
+    repetition filter (duplicate-line fraction ≤ 0.3, exact integer form)
+    → exact dedup keep-first (min doc_id per md5) → token count →
+    sequence packing into 1024-token bins by running offset (distributed
+    prefix-sum scan).  One fused read computes all per-doc features; only
+    narrow (fp, doc_id, n_tokens) rows cross the dedup exchange; the scan
+    ships per-block totals only."""
+    from crn_meta_validate_ray.functions.text import line_repetition_stats
+    from crn_meta_validate_ray.stages.common import grouped_map
+    from crn_meta_validate_ray.stages.scan import ordered_prefix_sum
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def features(t: pa.Table) -> pa.Table:
+        q = quality_features(t)
+        score = np.asarray(pc.round(q["quality_score"], 6))
+        rep = line_repetition_stats(t)
+        nl = np.asarray(rep["n_lines"], dtype=np.int64)
+        nd = np.asarray(rep["n_distinct_lines"], dtype=np.int64)
+        keep = (score >= 0.65) & ((nl - nd) * 10 <= 3 * nl)
+        kept = fingerprint_md5(t.filter(pa.array(keep)))
+        return pa.table({
+            "fp": kept["fp"],
+            "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(token_count(kept["text"]), pa.int64()),
+        })
+
+    narrow = ds.map_batches(features, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def keep_first(df):
+        return (df.sort_values("doc_id", kind="stable")
+                .drop_duplicates(subset=["fp"], keep="first")
+                .drop(columns=["fp"]))
+
+    kept = grouped_map(narrow, ["fp"], keep_first)
+    scanned = ordered_prefix_sum(kept, "doc_id", "n_tokens",
+                                 out_col="run_sum", integer=True)
+
+    def binify(t: pa.Table) -> pa.Table:
+        run = np.asarray(t["run_sum"], dtype=np.int64)
+        ntok = np.asarray(t["n_tokens"], dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+                         "bin_id": pa.array((run - ntok) // 1024)})
+
+    return scanned.map_batches(binify, batch_format="pyarrow")
+
+
 def minhash_pairs_documents(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
