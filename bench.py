@@ -140,6 +140,8 @@ def run_bench() -> dict:
     timed("range_join", lambda: consume(q.range_join_events(SF_DIR)))
     timed("hash_join", lambda: consume(q.order_priority_revenue(SF_DIR)))
     timed("scan_pack", lambda: consume(q.pack_documents(SF_DIR)))
+    timed("corpus_prep", lambda: consume(q.corpus_prep_documents(SF_DIR)))
+    timed("decontam", lambda: consume(q.decontam_documents(SF_DIR)))
     timed("term_df", lambda: consume(q.term_df_documents(SF_DIR)))
     timed("windows_events", lambda: (consume(q.tumbling_events(SF_DIR)),
                                      consume(q.hopping_events(SF_DIR)),
