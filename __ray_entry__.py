@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "mixture_sample_documents": q.mixture_sample_documents,
         "props_stats_events": q.props_stats_events,
+        "colstats_lineitem": q.colstats_lineitem,
+        "drift_psi_events": q.drift_psi_events,
+        "quantize_embeddings": q.quantize_embeddings,
         "sample_documents": q.sample_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
         "sink_roundtrip_documents": q.sink_roundtrip_documents,
@@ -148,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_violations": q.transcript_violations,
         "transcript_verdict": q.transcript_verdict,
         "transcript_resumable": q.transcript_resumable,
+        "transcript_conv_stats": q.transcript_conv_stats,
     }
 
 
@@ -403,6 +407,84 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'es'
                    END AS lang_pred
             FROM c
+        """,
+        "colstats_lineitem": """
+            SELECT l_returnflag, 'l_quantity' AS "column",
+                   count(*) AS n,
+                   round(avg(l_quantity), 4) AS mean,
+                   round(stddev_pop(l_quantity), 4) AS std,
+                   round(min(l_quantity), 2) AS min_v,
+                   round(max(l_quantity), 2) AS max_v
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 'l_extendedprice', count(*),
+                   round(avg(l_extendedprice), 4),
+                   round(stddev_pop(l_extendedprice), 4),
+                   round(min(l_extendedprice), 2),
+                   round(max(l_extendedprice), 2)
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "drift_psi_events": """
+            WITH e AS (
+                SELECT event_type, event_id % 2 AS side,
+                       CAST(least(floor(value / 25.0), 19) AS BIGINT)
+                           AS bucket
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), c AS (
+                SELECT event_type, side, bucket, count(*) AS n
+                FROM e GROUP BY 1, 2, 3
+            ), tot AS (
+                SELECT event_type, side, sum(n) AS tot FROM c GROUP BY 1, 2
+            ), grid AS (
+                SELECT t.event_type, t.side, g.bucket, t.tot
+                FROM tot t, (SELECT unnest(range(0, 20)) AS bucket) g
+            ), f AS (
+                SELECT grid.event_type, grid.side, grid.bucket,
+                       coalesce(c.n, 0) AS n, grid.tot
+                FROM grid LEFT JOIN c
+                  ON c.event_type = grid.event_type
+                 AND c.side = grid.side AND c.bucket = grid.bucket
+            ), pq AS (
+                SELECT event_type, bucket,
+                       max(CASE WHEN side = 0
+                                THEN (n + 1.0) / (tot + 20.0) END) AS p,
+                       max(CASE WHEN side = 1
+                                THEN (n + 1.0) / (tot + 20.0) END) AS q
+                FROM f GROUP BY 1, 2
+            )
+            SELECT pq.event_type,
+                   CAST(ta.tot AS BIGINT) AS n_a,
+                   CAST(tb.tot AS BIGINT) AS n_b,
+                   round(sum((pq.p - pq.q) * ln(pq.p / pq.q)), 6) AS psi
+            FROM pq
+            JOIN tot ta ON ta.event_type = pq.event_type AND ta.side = 0
+            JOIN tot tb ON tb.event_type = pq.event_type AND tb.side = 1
+            GROUP BY pq.event_type, ta.tot, tb.tot
+        """,
+        "quantize_embeddings": """
+            WITH m AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS ma
+                FROM m
+            ), q AS (
+                SELECT vec_id, ma,
+                       list_transform(v, x -> floor(x * 127.0 /
+                           (CASE WHEN ma > 0 THEN ma ELSE 1.0 END) + 0.5))
+                           AS ql
+                FROM s
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   round(ma / 127.0, 6) AS scale,
+                   CAST(list_sum(ql) AS BIGINT) AS sum_q,
+                   CAST(list_min(ql) AS BIGINT) AS min_q,
+                   CAST(list_max(ql) AS BIGINT) AS max_q
+            FROM q
         """,
         "props_stats_events": """
             SELECT event_type,
@@ -921,7 +1003,17 @@ def _transcript_oracles() -> dict[str, str]:
     def bind(sql: str) -> str:
         return sql.replace("@TURNS@", turns).replace("@CONVS@", convs)
 
+    conv_stats_sql = f"""
+        SELECT conv_id, count(*) AS n_turns,
+               count(DISTINCT role) AS n_roles,
+               CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars
+        FROM read_parquet('{turns}')
+        WHERE conv_id IS NOT NULL
+        GROUP BY conv_id
+    """
+
     return {
+        "transcript_conv_stats": conv_stats_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),
         "transcript_verdict": bind(_TV_VERDICT_SQL)
             .replace("@E@", "errors").replace("@W@", "warnings"),

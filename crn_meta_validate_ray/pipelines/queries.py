@@ -1449,3 +1449,203 @@ def rollup_revenue(sf_dir: str):
     cols = ["n_name", "o_orderpriority", "revenue", "n_orders"]
     return out[cols].sort_values(["n_name", "o_orderpriority"],
                                  kind="stable").reset_index(drop=True)
+
+
+def colstats_lineitem(sf_dir: str):
+    """Per-group column profiling (count / mean / population-std / min /
+    max) over two numeric columns — the drift-baseline stats a validation
+    engine records per partition.  Two-phase: each batch folds into tiny
+    (group, column, n, s, ss, mn, mx) moment partials, the groupby merges
+    partials (sum/min/max are associative), and the driver-free finish
+    derives mean and std from merged moments.  Only |groups|×|columns|
+    rows ever cross the exchange."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    cols = ["l_quantity", "l_extendedprice"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        frames = []
+        for c in cols:
+            g = df.groupby("l_returnflag", sort=False)[c]
+            v2 = df[c] * df[c]
+            ss = v2.groupby(df["l_returnflag"], sort=False).sum()
+            agg = g.agg(n="size", s="sum", mn="min", mx="max")
+            agg["ss"] = ss
+            agg["column"] = c
+            frames.append(agg.reset_index())
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table({
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "column": pa.array(out["column"], pa.string()),
+            "n": pa.array(out["n"].astype(np.int64)),
+            "s": pa.array(out["s"].astype(np.float64)),
+            "ss": pa.array(out["ss"].astype(np.float64)),
+            "mn": pa.array(out["mn"].astype(np.float64)),
+            "mx": pa.array(out["mx"].astype(np.float64)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["l_returnflag", "column"]).aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"), Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.float64)
+        s = np.asarray(t["s"], dtype=np.float64)
+        ss = np.asarray(t["ss"], dtype=np.float64)
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "column": t["column"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "mean": pc.round(pa.array(mean), 4),
+            "std": pc.round(pa.array(np.sqrt(var)), 4),
+            "min_v": pc.round(pc.cast(t["mn"], pa.float64()), 2),
+            "max_v": pc.round(pc.cast(t["mx"], pa.float64()), 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def drift_psi_events(sf_dir: str):
+    """Two-sample distribution drift (Population Stability Index) on the
+    events value column, split deterministically by event_id parity —
+    the north-star's distribution-drift check as an oracle-comparable
+    query.  Per-batch bincount partials over FIXED bucket edges (20 ×
+    width-25 buckets, top bucket open) mean only (event_type, side,
+    bucket, n) rows shuffle; PSI folds per event_type over the tiny
+    merged histogram with Laplace (+1) smoothing so empty buckets are
+    well-defined."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+    n_buckets = 20
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["value"].notna() & df["event_type"].notna()]
+        if not len(df):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "side": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        side = (df["event_id"].to_numpy() % 2).astype(np.int64)
+        bucket = np.minimum(
+            np.floor(df["value"].to_numpy() / 25.0), n_buckets - 1) \
+            .astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "side": side, "bucket": bucket})
+        g = out.groupby(["event_type", "side", "bucket"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["event_type", "side", "bucket"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def psi(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            counts = np.zeros((2, n_buckets), dtype=np.float64)
+            for _, r in g.iterrows():
+                counts[int(r["side"]), int(r["bucket"])] = r["n"]
+            tot = counts.sum(axis=1)
+            p = (counts[0] + 1.0) / (tot[0] + n_buckets)
+            q = (counts[1] + 1.0) / (tot[1] + n_buckets)
+            rows.append({"event_type": et,
+                         "n_a": np.int64(tot[0]), "n_b": np.int64(tot[1]),
+                         "psi": float(np.sum((p - q) * np.log(p / q)))})
+        out = pd.DataFrame(rows, columns=["event_type", "n_a", "n_b", "psi"])
+        out["psi"] = pc.round(pa.array(out["psi"], type=pa.float64()),
+                              6).to_numpy(zero_copy_only=False)
+        return out
+
+    return grouped_map(agg, ["event_type"], psi)
+
+
+def quantize_embeddings(sf_dir: str):
+    """Symmetric per-vector int8 quantization (maxabs / 127 scale) — the
+    embedding-compression step of a vector-index build.  Map-only and
+    fully vectorized: one float64 matrix op per batch; emits the scale
+    plus integer checksums (sum/min/max of the quantized vector) so the
+    oracle compares exact integers rather than 64 floats per row."""
+    from crn_meta_validate_ray.stages.similarity import _matrix
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def qz(t: pa.Table) -> pa.Table:
+        m = _matrix(t, "embedding").astype(np.float64)
+        if m.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "scale": pa.array([], pa.float64()),
+                             "sum_q": pa.array([], pa.int64()),
+                             "min_q": pa.array([], pa.int64()),
+                             "max_q": pa.array([], pa.int64())})
+        ma = np.abs(m).max(axis=1)
+        safe = np.where(ma > 0, ma, 1.0)
+        # elementwise (v * 127.0) / maxabs, floor(+0.5): identical IEEE op
+        # order to the SQL oracle expression
+        q = np.floor(m * 127.0 / safe[:, None] + 0.5)
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "scale": pc.round(pa.array(ma / 127.0), 6),
+            "sum_q": pa.array(q.sum(axis=1).astype(np.int64)),
+            "min_q": pa.array(q.min(axis=1).astype(np.int64)),
+            "max_q": pa.array(q.max(axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(qz, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def transcript_conv_stats(sf_dir: str):
+    """Conversation-level rollup of the transcript corpus: per conv_id the
+    turn count, distinct-role count and total text chars.  The fused read
+    reduces each turn to a narrow (conv_id, role, n_chars) row (text never
+    leaves the scan); one hash-bucket exchange co-locates conversations
+    and computes all three stats vectorized per bucket."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "role", "text"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        # drop null conv_ids: pandas groupby and SQL GROUP BY disagree on
+        # the NULL group, and a null key has no conversation identity
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "role": t["role"],
+            "n_chars": pc.cast(
+                pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64()),
+        })
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(n_turns=("role", "size"),
+                    n_roles=("role", "nunique"),
+                    sum_chars=("n_chars", "sum")).reset_index()
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["n_roles"] = out["n_roles"].astype(np.int64)
+        out["sum_chars"] = out["sum_chars"].astype(np.int64)
+        return out
+
+    return grouped_map(rows, ["conv_id"], stats)

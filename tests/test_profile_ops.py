@@ -1,0 +1,80 @@
+"""Column profiling, PSI drift, and embedding quantization operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def test_colstats_two_phase_matches_direct(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    flags = rng.choice(["A", "N", "R"], size=4000)
+    qty = rng.uniform(1, 50, size=4000)
+    price = rng.uniform(900, 90000, size=4000)
+    t = pa.table({"l_returnflag": flags, "l_quantity": qty,
+                  "l_extendedprice": price})
+    import pyarrow.parquet as pq
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+
+    from crn_meta_validate_ray.pipelines.queries import colstats_lineitem
+    rows = {(r["l_returnflag"], r["column"]): r
+            for r in colstats_lineitem(str(tmp_path)).take_all()}
+    for f in "ANR":
+        m = flags == f
+        for col, v in (("l_quantity", qty), ("l_extendedprice", price)):
+            r = rows[(f, col)]
+            assert r["n"] == int(m.sum())
+            assert r["mean"] == pytest.approx(v[m].mean(), abs=1e-3)
+            assert r["std"] == pytest.approx(v[m].std(), abs=1e-3)
+            assert r["min_v"] == pytest.approx(v[m].min(), abs=1e-2)
+            assert r["max_v"] == pytest.approx(v[m].max(), abs=1e-2)
+
+
+def test_drift_psi_zero_for_identical_and_positive_for_shifted(
+        ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(5)
+    n = 20000
+    # 'same': both parities drawn from one distribution -> psi ~ 0
+    # 'shifted': odd ids shifted by +100 -> psi large
+    v_same = rng.uniform(0, 400, size=n)
+    v_shift = rng.uniform(0, 300, size=n)
+    ids = np.arange(n, dtype=np.int64)
+    v_shift = v_shift + (ids % 2) * 100.0
+    t = pa.table({
+        "event_id": np.concatenate([ids, ids + n]),
+        "event_type": ["same"] * n + ["shifted"] * n,
+        "value": np.concatenate([v_same, v_shift]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    from crn_meta_validate_ray.pipelines.queries import drift_psi_events
+    rows = {r["event_type"]: r
+            for r in drift_psi_events(str(tmp_path)).take_all()}
+    assert rows["same"]["psi"] < 0.01
+    assert rows["shifted"]["psi"] > 0.5
+    assert rows["same"]["n_a"] + rows["same"]["n_b"] == n
+
+
+def test_quantize_embeddings_exact_values(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    emb = pa.array([
+        [1.0, -0.5, 0.25, 0.0],     # maxabs 1.0 -> q = 127, -63, 32, 0
+        [0.0, 0.0, 0.0, 0.0],       # zero vector -> scale 0, all-zero q
+        [-2.0, 2.0, 1.0, -1.0],     # maxabs 2.0 -> -127, 127, 64, -63
+    ], type=pa.list_(pa.float32()))
+    t = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                  "embedding": emb})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    from crn_meta_validate_ray.pipelines.queries import quantize_embeddings
+    rows = {r["vec_id"]: r
+            for r in quantize_embeddings(str(tmp_path)).take_all()}
+    # floor(x*127/ma + 0.5): -0.5*127 = -63.5 -> floor(-63.0) = -63
+    assert (rows[0]["sum_q"], rows[0]["min_q"], rows[0]["max_q"]) \
+        == (127 - 63 + 32 + 0, -63, 127)
+    assert rows[0]["scale"] == pytest.approx(1.0 / 127, abs=1e-6)
+    assert (rows[1]["sum_q"], rows[1]["scale"]) == (0, 0.0)
+    assert (rows[2]["min_q"], rows[2]["max_q"]) == (-127, 127)
+    assert rows[2]["sum_q"] == -127 + 127 + 64 - 63
