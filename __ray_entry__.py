@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colstats_lineitem": q.colstats_lineitem,
         "drift_psi_events": q.drift_psi_events,
         "quantize_embeddings": q.quantize_embeddings,
+        "outlier_filter_events": q.outlier_filter_events,
+        "redact_events": q.redact_events,
+        "tfidf_top_terms_documents": q.tfidf_top_terms_documents,
         "sample_documents": q.sample_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
         "sink_roundtrip_documents": q.sink_roundtrip_documents,
@@ -485,6 +488,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(ql) AS BIGINT) AS min_q,
                    CAST(list_max(ql) AS BIGINT) AS max_q
             FROM q
+        """,
+        "outlier_filter_events": """
+            WITH s AS (
+                SELECT event_type,
+                       avg(value) + 3 * stddev_pop(value) AS cut
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN s USING (event_type)
+            WHERE e.value IS NOT NULL AND e.value > s.cut
+        """,
+        "redact_events": r"""
+            SELECT event_id,
+                   length(regexp_extract_all(coalesce(props, ''),
+                          '[0-9]+(?:\.[0-9]+)?')) AS n_redacted,
+                   md5(regexp_replace(coalesce(props, ''),
+                       '[0-9]+(?:\.[0-9]+)?', '#', 'g')) AS fp
+            FROM events
+        """,
+        "tfidf_top_terms_documents": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       row_number() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) - 1
+                           AS rank
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, rank, term, tf, df,
+                   round(tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                                 / df), 6) AS score
+            FROM scored WHERE rank < 3
         """,
         "props_stats_events": """
             SELECT event_type,

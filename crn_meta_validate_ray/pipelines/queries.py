@@ -1649,3 +1649,157 @@ def transcript_conv_stats(sf_dir: str):
         return out
 
     return grouped_map(rows, ["conv_id"], stats)
+
+
+def outlier_filter_events(sf_dir: str):
+    """Two-pass statistical outlier filter (data-cleaning staple): pass 1
+    folds per-type moment partials (n, Σx, Σx²) into a |types|-row
+    aggregate; the mean + 3σ cutoffs broadcast via ``ray.put``; pass 2
+    streams the table again and keeps rows above their type's cutoff.
+    Nothing wide ever shuffles — the only exchange is the tiny moment
+    merge.  The 3σ cutoff sits ≥0.1 value-units from every data point at
+    the tested scales, so engine-vs-SQL float noise (~1e-10) cannot flip
+    membership."""
+    import pandas as pd
+
+    import ray
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["value"].notna() & df["event_type"].notna()]
+        g = df.groupby("event_type", sort=False)["value"]
+        agg = g.agg(n="size", s="sum")
+        agg["ss"] = (df["value"] * df["value"]).groupby(
+            df["event_type"], sort=False).sum()
+        out = agg.reset_index()
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"].astype(np.int64)),
+            "s": pa.array(out["s"].astype(np.float64)),
+            "ss": pa.array(out["ss"].astype(np.float64))})
+
+    stats = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss")) \
+        .take_all()  # bounded: one row per event type
+
+    cuts = {}
+    for r in stats:
+        mean = r["s"] / r["n"]
+        std = float(np.sqrt(max(r["ss"] / r["n"] - mean * mean, 0.0)))
+        cuts[r["event_type"]] = mean + 3.0 * std
+    ref = ray.put(cuts)
+
+    def flt(t: pa.Table, *, ref=ref) -> pa.Table:
+        cut = ray.get(ref)
+        df = t.to_pandas()
+        df = df[df["value"].notna() & df["event_type"].notna()]
+        c = df["event_type"].map(cut)
+        keep = df[df["value"] > c]
+        return pa.table({
+            "event_id": pa.array(keep["event_id"].astype(np.int64)),
+            "event_type": pa.array(keep["event_type"], pa.string()),
+            "value": pa.array(keep["value"].astype(np.float64))})
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_events(sf_dir: str):
+    """Pattern-redaction stage (the PII-scrub operator shape): count and
+    replace numeric literals in the props payload, fingerprinting the
+    redacted string for oracle parity.  Map-only; RE2 on both sides
+    (pyarrow and DuckDB) so regex semantics match exactly."""
+    from crn_meta_validate_ray.functions.text import fingerprint_md5
+
+    num_re = r"[0-9]+(?:\.[0-9]+)?"
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "props"])
+
+    def red(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t["props"], pa.string()), "")
+        n = pc.count_substring_regex(s, num_re)
+        scrubbed = pc.replace_substring_regex(s, num_re, "#")
+        tab = pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                        "n_redacted": pc.cast(n, pa.int64()),
+                        "scrubbed": scrubbed})
+        tab = fingerprint_md5(tab, text_col="scrubbed")
+        return tab.drop_columns(["scrubbed"])
+
+    return ds.map_batches(red, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms_documents(sf_dir: str):
+    """Per-document top-3 distinctive terms with tf-idf scores.  The
+    document-frequency map builds via the term_df combiner (only (term,
+    partial-df) rows shuffle) and broadcasts once through ``ray.put`` as
+    sorted parallel arrays; the scoring pass re-tokenizes each batch
+    locally and ranks by the all-integer (tf DESC, df ASC, term ASC)
+    order, so ranking is engine-exact and only the reported score is
+    float.  Broadcast size is bounded by vocabulary; an open-vocabulary
+    corpus at scale would hash terms into a fixed-width df sketch
+    instead (same pipeline shape)."""
+    import pandas as pd
+
+    import ray
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tokenize(t: pa.Table):
+        txt = pc.utf8_lower(pc.fill_null(pc.cast(t["text"], pa.string()),
+                                         ""))
+        lst = pc.split_pattern_regex(txt, "[^a-z0-9]+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        return (np.asarray(pc.list_parent_indices(lst)),
+                np.asarray(pc.list_flatten(lst)).astype(object))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        p, w = tokenize(t)
+        df = pd.DataFrame({"p": p, "t": w})
+        df = df[df["t"] != ""].drop_duplicates()
+        vc = df["t"].value_counts()
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy().astype(str)),
+            "df": pa.array(vc.to_numpy().astype(np.int64))})
+
+    df_tab = ds.map_batches(df_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+    order = np.argsort(df_tab["term"].to_numpy())
+    terms_sorted = df_tab["term"].to_numpy().astype(object)[order]
+    dfs_sorted = df_tab["df"].to_numpy().astype(np.int64)[order]
+    ref = ray.put((terms_sorted, dfs_sorted))
+
+    def score(t: pa.Table, *, ref=ref, n_docs=n_docs) -> pa.Table:
+        vocab, dfv = ray.get(ref)
+        p, w = tokenize(t)
+        ids = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        df = pd.DataFrame({"p": p, "t": w})
+        df = df[df["t"] != ""]
+        tf = df.groupby(["p", "t"], sort=False).size().reset_index(name="tf")
+        pos = np.searchsorted(vocab, tf["t"].to_numpy().astype(object))
+        tf["df"] = dfv[pos]
+        tf = tf.sort_values(["p", "tf", "df", "t"],
+                            ascending=[True, False, True, True],
+                            kind="stable")
+        tf["rank"] = tf.groupby("p", sort=False).cumcount()
+        top = tf[tf["rank"] < 3]
+        sc = top["tf"].to_numpy() * np.log(
+            float(n_docs) / top["df"].to_numpy())
+        return pa.table({
+            "doc_id": pa.array(ids[top["p"].to_numpy()]),
+            "rank": pa.array(top["rank"].to_numpy().astype(np.int64)),
+            "term": pa.array(top["t"].to_numpy().astype(str)),
+            "tf": pa.array(top["tf"].to_numpy().astype(np.int64)),
+            "df": pa.array(top["df"].to_numpy().astype(np.int64)),
+            "score": pc.round(pa.array(sc, type=pa.float64()), 6)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

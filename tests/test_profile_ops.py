@@ -78,3 +78,69 @@ def test_quantize_embeddings_exact_values(ray_session, tmp_path):
     assert (rows[1]["sum_q"], rows[1]["scale"]) == (0, 0.0)
     assert (rows[2]["min_q"], rows[2]["max_q"]) == (-127, 127)
     assert rows[2]["sum_q"] == -127 + 127 + 64 - 63
+
+
+def test_outlier_filter_flags_only_tail(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 5.0, size=5000)
+    vals[:3] = [200.0, 250.0, 300.0]  # planted outliers far above 3 sigma
+    t = pa.table({"event_id": np.arange(5000, dtype=np.int64),
+                  "event_type": ["x"] * 5000,
+                  "value": vals})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    from crn_meta_validate_ray.pipelines.queries import outlier_filter_events
+    rows = outlier_filter_events(str(tmp_path)).take_all()
+    got = {r["event_id"] for r in rows}
+    assert {0, 1, 2} <= got
+    # everything flagged must genuinely exceed the cutoff implied by the
+    # planted-outlier-inflated moments; normal draws at sigma=5 stay close
+    assert all(vals[i] > 115 for i in got)
+
+
+def test_redact_counts_and_scrubs(ray_session, tmp_path):
+    import hashlib
+    import pyarrow.parquet as pq
+    t = pa.table({"event_id": pa.array([0, 1, 2], pa.int64()),
+                  "props": ['{"k": 5, "v": 3.25}', "no digits", None]})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    from crn_meta_validate_ray.pipelines.queries import redact_events
+    rows = {r["event_id"]: r for r in redact_events(str(tmp_path)).take_all()}
+    assert rows[0]["n_redacted"] == 2
+    assert rows[0]["fp"] == hashlib.md5(
+        b'{"k": #, "v": #}').hexdigest()
+    assert rows[1]["n_redacted"] == 0
+    assert rows[2]["n_redacted"] == 0
+    assert rows[2]["fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_tfidf_top_terms_ranking(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    docs = {
+        0: "apple apple apple banana common common",
+        1: "banana banana common common common",
+        2: "cherry common",
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": list(docs.values())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    from crn_meta_validate_ray.pipelines.queries import (
+        tfidf_top_terms_documents)
+    rows = tfidf_top_terms_documents(str(tmp_path)).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    # doc 0: apple tf=3 (df=1) ranks above banana/common
+    assert top0[0]["term"] == "apple" and top0[0]["tf"] == 3
+    assert top0[0]["df"] == 1
+    # tf tie (banana tf=1, common tf=2): common has higher tf -> rank 1
+    assert top0[1]["term"] == "common"
+    # doc 2: cherry (df=1) beats common (df=3) on the df tiebreak at tf=1
+    top2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert [r["term"] for r in top2] == ["cherry", "common"]
+    import math
+    assert top2[0]["score"] == round(1 * math.log(3 / 1), 6)
