@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_filter_events": q.outlier_filter_events,
         "redact_events": q.redact_events,
         "tfidf_top_terms_documents": q.tfidf_top_terms_documents,
+        "unigram_logprob_documents": q.unigram_logprob_documents,
         "sample_documents": q.sample_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
         "sink_roundtrip_documents": q.sink_roundtrip_documents,
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_verdict": q.transcript_verdict,
         "transcript_resumable": q.transcript_resumable,
         "transcript_conv_stats": q.transcript_conv_stats,
+        "transcript_role_transitions": q.transcript_role_transitions,
     }
 
 
@@ -530,6 +532,23 @@ def oracle_sql() -> dict[str, str]:
                    round(tf * ln((SELECT count(*) FROM documents)::DOUBLE
                                  / df), 6) AS score
             FROM scored WHERE rank < 3
+        """,
+        "unigram_logprob_documents": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+                FROM documents
+            ), freq AS (
+                SELECT term, count(*) AS c FROM tok GROUP BY term
+            ), tot AS (
+                SELECT sum(c)::DOUBLE AS t FROM freq
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln(f.c / (SELECT t FROM tot))), 6)
+                       AS avg_logprob
+            FROM tok JOIN freq f USING (term)
+            GROUP BY doc_id
         """,
         "props_stats_events": """
             SELECT event_type,
@@ -1057,8 +1076,24 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY conv_id
     """
 
+    role_transitions_sql = f"""
+        WITH t AS (
+            SELECT conv_id, turn_idx, coalesce(role, 'NA') AS role
+            FROM read_parquet('{turns}')
+            WHERE conv_id IS NOT NULL
+        ), lagd AS (
+            SELECT role,
+                   lag(role) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS prev
+            FROM t
+        )
+        SELECT prev AS role_a, role AS role_b, count(*) AS n
+        FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2
+    """
+
     return {
         "transcript_conv_stats": conv_stats_sql,
+        "transcript_role_transitions": role_transitions_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),
         "transcript_verdict": bind(_TV_VERDICT_SQL)
             .replace("@E@", "errors").replace("@W@", "warnings"),

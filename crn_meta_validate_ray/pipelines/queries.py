@@ -1803,3 +1803,121 @@ def tfidf_top_terms_documents(sf_dir: str):
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def unigram_logprob_documents(sf_dir: str):
+    """Corpus-language-model quality scoring (the CCNet/Gopher "perplexity
+    filter" shape with a unigram model): pass 1 builds corpus unigram
+    counts via the combiner groupby (only (term, partial-count) rows
+    shuffle) and broadcasts them once as sorted arrays; pass 2 re-reads
+    the corpus and scores each document by its mean token log-probability
+    — one searchsorted + one bincount fold per batch, no per-doc Python.
+    Broadcast size is vocabulary-bounded (hash into a fixed-width count
+    sketch for open vocabularies at scale — same pipeline shape)."""
+    import ray
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def tokenize(t: pa.Table):
+        txt = pc.utf8_lower(pc.fill_null(pc.cast(t["text"], pa.string()),
+                                         ""))
+        lst = pc.split_pattern_regex(txt, "[^a-z0-9]+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        parent = np.asarray(pc.list_parent_indices(lst))
+        keep = np.asarray(pc.not_equal(flat, ""))
+        return parent[keep], np.asarray(flat.to_pandas(),
+                                        dtype=object)[keep]
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        _, w = tokenize(t)
+        vc = pd.Series(w).value_counts()
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy().astype(str)),
+            "c": pa.array(vc.to_numpy().astype(np.int64))})
+
+    freq = ds.map_batches(count_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("term").aggregate(Sum("c", alias_name="c")).to_pandas()
+    order = np.argsort(freq["term"].to_numpy())
+    vocab = freq["term"].to_numpy().astype(object)[order]
+    counts = freq["c"].to_numpy().astype(np.float64)[order]
+    total = float(counts.sum())
+    ref = ray.put((vocab, counts, total))
+
+    def score(t: pa.Table, *, ref=ref) -> pa.Table:
+        vocab, counts, total = ray.get(ref)
+        p, w = tokenize(t)
+        n = t.num_rows
+        ntok = np.bincount(p, minlength=n).astype(np.int64)
+        if len(w):
+            pos = np.searchsorted(vocab, w)
+            logp = np.log(counts[pos] / total)
+            sums = np.bincount(p, weights=logp, minlength=n)
+        else:
+            sums = np.zeros(n, dtype=np.float64)
+        keep = ntok > 0  # token-less docs have no defined mean
+        ids = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_tokens": pa.array(ntok[keep]),
+            "avg_logprob": pc.round(
+                pa.array(sums[keep] / ntok[keep], type=pa.float64()), 6)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def transcript_role_transitions(sf_dir: str):
+    """Role-transition matrix over the flagship corpus: counts of each
+    (previous role → role) adjacency under the stable (conv_id, turn_idx)
+    turn order — the sequence-aware rollup that validates conversational
+    structure (e.g. user→assistant alternation) at corpus scale.  Narrow
+    (conv_id, turn_idx, role) rows co-locate per conversation through the
+    hash-bucket exchange; each bucket sorts its conversations once and
+    emits per-bucket partial pair counts, so the final merge sees only
+    |roles|² rows per bucket.  Duplicate-(conv, turn) rows injected by the
+    corpus are full-row copies, so tie order cannot change the pair
+    multiset."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "turn_idx", "role"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "role": pc.fill_null(pc.cast(t["role"], pa.string()), "NA")})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        prev = df.groupby("conv_id", sort=False)["role"].shift(1)
+        keep = prev.notna()
+        out = pd.DataFrame({"role_a": prev[keep].to_numpy(),
+                            "role_b": df["role"][keep].to_numpy()})
+        g = out.groupby(["role_a", "role_b"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    part = grouped_map(rows, ["conv_id"], pairs)
+    agg = part.groupby(["role_a", "role_b"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"role_a": pc.cast(t["role_a"], pa.string()),
+                         "role_b": pc.cast(t["role_b"], pa.string()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return agg.map_batches(cast, batch_format="pyarrow")

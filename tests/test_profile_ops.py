@@ -144,3 +144,24 @@ def test_tfidf_top_terms_ranking(ray_session, tmp_path):
     assert [r["term"] for r in top2] == ["cherry", "common"]
     import math
     assert top2[0]["score"] == round(1 * math.log(3 / 1), 6)
+
+
+def test_unigram_logprob_exact(ray_session, tmp_path):
+    import math
+    import pyarrow.parquet as pq
+    # corpus: 6 tokens total; 'a' c=3, 'b' c=2, 'c' c=1
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["a a b", "a b c", ""]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    from crn_meta_validate_ray.pipelines.queries import (
+        unigram_logprob_documents)
+    rows = {r["doc_id"]: r
+            for r in unigram_logprob_documents(str(tmp_path)).take_all()}
+    la, lb, lc = (math.log(3 / 6), math.log(2 / 6), math.log(1 / 6))
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["avg_logprob"] == pytest.approx((2 * la + lb) / 3,
+                                                   abs=1e-6)
+    assert rows[1]["avg_logprob"] == pytest.approx((la + lb + lc) / 3,
+                                                   abs=1e-6)
+    assert 2 not in rows  # token-less doc has no defined mean
