@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_resumable": q.transcript_resumable,
         "transcript_conv_stats": q.transcript_conv_stats,
         "transcript_role_transitions": q.transcript_role_transitions,
+        "transcript_conditional": q.transcript_conditional,
     }
 
 
@@ -1091,9 +1092,19 @@ def _transcript_oracles() -> dict[str, str]:
         FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2
     """
 
+    conditional_sql = bind(_TV_NORM_CTE + """
+        SELECT 'cond:role->text' AS constraint_id, 'text' AS "column",
+               row_key, n_text AS value
+        FROM norm WHERE n_role IN ('user', 'assistant') AND n_text = 'NA'
+        UNION ALL
+        SELECT 'cond:role->tool', 'tool', row_key, n_tool
+        FROM norm WHERE n_role = 'tool' AND n_tool = 'NA'
+    """)
+
     return {
         "transcript_conv_stats": conv_stats_sql,
         "transcript_role_transitions": role_transitions_sql,
+        "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),
         "transcript_verdict": bind(_TV_VERDICT_SQL)
             .replace("@E@", "errors").replace("@W@", "warnings"),

@@ -1921,3 +1921,34 @@ def transcript_role_transitions(sf_dir: str):
                          "n": pc.cast(t["n"], pa.int64())})
 
     return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def transcript_conditional(sf_dir: str):
+    """Cross-column conditional constraints (CondRule) over the flagship
+    corpus, evaluated inside the fused per-cell pass: conversational turns
+    by user/assistant must carry text, and tool-role turns must carry a
+    concrete tool value.  Emits the structured violation rows."""
+    from crn_meta_validate_ray.registry import CondRule, TableRules
+    from crn_meta_validate_ray.pipelines.validate_pipeline import (
+        validate_dataset)
+
+    info = _transcript_corpus(sf_dir)
+    rules = TableRules(
+        table="turns",
+        locator=("conv_id", "turn_idx"),
+        conditionals=[
+            CondRule("role", ("user", "assistant"), "text"),
+            CondRule("role", ("tool",), "tool"),
+        ])
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "turn_idx", "role", "text",
+                                  "tool"])
+    run = validate_dataset(ds, rules)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"constraint_id": t["constraint_id"],
+                         "column": t["column"],
+                         "row_key": t["row_key"],
+                         "value": t["value"]})
+
+    return run.violations.map_batches(project, batch_format="pyarrow")

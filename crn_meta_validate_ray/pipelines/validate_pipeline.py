@@ -574,6 +574,15 @@ def extension_summaries(rules: TableRules, counts: dict[str, int],
             push(d.severity, f"{d.constraint_id}:group",
                  f"{c} group(s) with outlier {d.metric} vs the declared "
                  f"expectation")
+    for cr in getattr(rules, "conditionals", []) or []:
+        c = counts.get(cr.constraint_id, 0)
+        if c:
+            requirement = (f"in ({', '.join(map(quote, cr.then_values))})"
+                           if cr.then_values else "non-missing")
+            push(cr.severity, cr.constraint_id,
+                 f"{c} row(s) where {cr.if_col} in "
+                 f"({', '.join(map(quote, cr.if_values))}) but "
+                 f"{cr.then_col} is not {requirement}")
     return errors, warnings_, extras
 
 

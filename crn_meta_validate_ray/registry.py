@@ -223,6 +223,42 @@ class SeqRule:
 
 
 @dataclass(frozen=True)
+class CondRule:
+    """Engine extension: cross-column conditional constraint — when the
+    null-normalized value of ``if_col`` is in ``if_values``, the
+    null-normalized value of ``then_col`` must be in ``then_values``
+    (or merely non-missing, i.e. != "NA", when ``then_values`` is empty).
+
+    The reference validates columns independently; conditional
+    (row-level, cross-column) rules are the standard next step for a
+    schema registry — e.g. role='tool' implies a concrete tool value.
+    Evaluated inside the fused per-cell pass (stages/validate.py), so the
+    check costs one extra vectorized mask per batch and no extra read."""
+
+    if_col: str
+    if_values: tuple
+    then_col: str
+    then_values: tuple = ()
+    severity: str = "error"
+
+    def __post_init__(self):
+        iv = tuple(str(v) for v in parse_literal_list(self.if_values))
+        if not iv:
+            raise RegistryError(
+                f"cond rule {self.if_col!r}->{self.then_col!r}: empty "
+                "if_values")
+        tv = tuple(str(v) for v in parse_literal_list(self.then_values))
+        object.__setattr__(self, "if_values", iv)
+        object.__setattr__(self, "then_values", tv)
+        if not self.if_col or not self.then_col:
+            raise RegistryError("cond rule needs both if_col and then_col")
+
+    @property
+    def constraint_id(self) -> str:
+        return f"cond:{self.if_col}->{self.then_col}"
+
+
+@dataclass(frozen=True)
 class NullRateRule:
     """Engine extension: global null-rate of ``column`` must be <=
     ``max_rate`` (fraction in [0,1])."""
@@ -284,6 +320,7 @@ class TableRules:
     sequences: list = field(default_factory=list)
     null_rates: list = field(default_factory=list)
     drift: list = field(default_factory=list)
+    conditionals: list = field(default_factory=list)
 
     def __post_init__(self):
         self.locator = tuple(self.locator)
@@ -363,6 +400,8 @@ class ConstraintSet:
                     sequences=[SeqRule(**s) for s in td.get("sequences", [])],
                     null_rates=[NullRateRule(**n) for n in td.get("null_rates", [])],
                     drift=[DriftRule(**d) for d in td.get("drift", [])],
+                    conditionals=[CondRule(**c)
+                                  for c in td.get("conditionals", [])],
                 )
             )
         return cs

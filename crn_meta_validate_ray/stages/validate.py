@@ -27,8 +27,20 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from crn_meta_validate_ray.functions.checks import CompiledFieldRule, _combine
-from crn_meta_validate_ray.registry import TableRules
+from crn_meta_validate_ray.functions.checks import (CompiledFieldRule,
+                                                    _combine, _to_bool_np)
+from crn_meta_validate_ray.functions.nulls import normalize_null_like
+from crn_meta_validate_ray.registry import NULL_SENTINEL, TableRules
+
+
+def normalized_view(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Null-normalized string view of any column: string columns get the
+    reference null model (whitespace / null-like tokens → "NA"); other
+    types cast to string with nulls → "NA"."""
+    col = _combine(col)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return _combine(normalize_null_like(col))
+    return _combine(pc.fill_null(pc.cast(col, pa.string()), NULL_SENTINEL))
 
 # Findings schema — shared by the per-cell validator and the distributed
 # check stages (uniqueness / referential / sequence / drift) so all
@@ -118,6 +130,13 @@ class BatchValidator:
         self.compiled = {r.field: CompiledFieldRule(r) for r in self.rules}
         self.sketch_spec = sketch_spec
         self.ref_rules_keys = list(ref_rules_keys or [])
+        # cross-column conditionals: precompile the value sets once
+        self.cond_rules = [
+            (c,
+             pa.array(sorted(set(c.if_values)), type=pa.string()),
+             pa.array(sorted(set(c.then_values)), type=pa.string())
+             if c.then_values else None)
+            for c in getattr(table_rules, "conditionals", []) or []]
         self._sketcher = None
         if sketch_spec is not None:
             from crn_meta_validate_ray.stages.sketch import SketchStage
@@ -193,6 +212,25 @@ class BatchValidator:
             emit("colstat", col_name, rule.constraint_id, severity,
                  n_rows=n, n_null=n_null, n_invalid=n_invalid,
                  inv_vals=inv_vals_list, inv_keys=inv_keys_list, exact=exact)
+
+        for cond, if_set, then_set in self.cond_rules:
+            if (cond.if_col not in batch.column_names
+                    or cond.then_col not in batch.column_names):
+                continue
+            iv = normalized_view(batch[cond.if_col])
+            tv = normalized_view(batch[cond.then_col])
+            if_hit = _to_bool_np(pc.is_in(iv, value_set=if_set))
+            if then_set is not None:
+                ok = _to_bool_np(pc.is_in(tv, value_set=then_set))
+            else:  # non-missing requirement
+                ok = ~_to_bool_np(pc.equal(tv, NULL_SENTINEL))
+            idx = np.nonzero(if_hit & ~ok)[0]
+            if idx.size and self.emit_violations:
+                emit("violation", cond.then_col, cond.constraint_id,
+                     cond.severity,
+                     value=pc.take(tv, pa.array(idx)).to_pylist(),
+                     rk=np.asarray(row_key).astype(object)[idx],
+                     sk=np_sort_key[idx], count=int(idx.size))
 
         arrays = []
         for fld in FINDINGS_SCHEMA:
