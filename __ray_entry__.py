@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": q.sample_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
         "sink_roundtrip_documents": q.sink_roundtrip_documents,
+        "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
+        "compact_documents": q.compact_documents,
         "multienum_violations_documents": q.multienum_violations_documents,
         "timestamp_violations_events": q.timestamp_violations_events,
         "decontam_documents": q.decontam_documents,
@@ -580,6 +582,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS n_chars
             FROM documents GROUP BY lang_p
         """,
+        "jsonl_roundtrip_documents": """
+            SELECT coalesce(lang, 'und') AS lang_p,
+                   count(*) AS n_docs,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                       AS n_chars
+            FROM documents GROUP BY lang_p
+        """,
+        # compact_documents: file-count census (filesystem state, not SQL-
+        # expressible) — rows-only check; row conservation asserted in-row
         "multienum_violations_documents": r"""
             WITH d AS (
                 SELECT doc_id, lang || ';' || source AS tags FROM documents

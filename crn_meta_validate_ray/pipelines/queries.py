@@ -1952,3 +1952,101 @@ def transcript_conditional(sf_dir: str):
                          "value": t["value"]})
 
     return run.violations.map_batches(project, batch_format="pyarrow")
+
+
+def jsonl_roundtrip_documents(sf_dir: str):
+    """S-family source breadth: serialize the documents table to JSONL
+    (one line-delimited JSON object per row — the dominant raw-text
+    interchange format for training corpora), read it back DISTRIBUTED
+    with ``ray.data.read_json``, and census per-lang counts + chars —
+    oracle-compared against the parquet source.  The JSONL copy is
+    sharded (8 files) so the read parallelizes like a real corpus."""
+    import hashlib
+    import json as _json
+    import tempfile
+
+    src = _p(sf_dir, "documents")
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"jsonl_docs_{tag}")
+    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+        t = pq.read_table(src, columns=["doc_id", "lang", "text"])
+        rows = t.to_pylist()
+        shards = 8
+        for s in range(shards):
+            with open(os.path.join(out_dir, f"part-{s}.jsonl"), "w",
+                      encoding="utf-8") as fh:
+                for r in rows[s::shards]:
+                    fh.write(_json.dumps(r) + "\n")
+
+    ds = rd.read_json(out_dir)
+
+    def census(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        lang = pc.fill_null(pc.cast(t["lang"], pa.string()), "und")
+        nch = pc.utf8_length(pc.fill_null(pc.cast(t["text"], pa.string()),
+                                          ""))
+        df = pd.DataFrame({"lang_p": np.asarray(lang).astype(object),
+                           "n_chars": np.asarray(nch, dtype=np.int64)})
+        g = df.groupby("lang_p", sort=False).agg(
+            n_docs=("n_chars", "size"), n_chars=("n_chars", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(census, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("lang_p").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                     Sum("n_chars", alias_name="n_chars"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"lang_p": pc.cast(t["lang_p"], pa.string()),
+                         "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                         "n_chars": pc.cast(t["n_chars"], pa.int64())})
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def compact_documents(sf_dir: str):
+    """Operational small-file compaction: a corpus fragmented into many
+    tiny parquet files (the classic post-ingest state at 100 TB) is
+    rewritten into target-size output files via a streaming repartition —
+    no shuffle, no driver materialization.  Returns the before/after file
+    census + row conservation so the driver verifies losslessness."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = _p(sf_dir, "documents")
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    frag_dir = os.path.join(tempfile.gettempdir(), f"frag_docs_{tag}")
+    if not os.path.isdir(frag_dir) or not os.listdir(frag_dir):
+        os.makedirs(frag_dir, exist_ok=True)
+        t = pq.read_table(src)
+        shards = 64  # deliberately over-fragmented
+        for s in range(shards):
+            pq.write_table(t.slice(s * t.num_rows // shards,
+                                   (s + 1) * t.num_rows // shards
+                                   - s * t.num_rows // shards),
+                           os.path.join(frag_dir, f"tiny-{s:04d}.parquet"))
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"compact_docs_{tag}")
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = rd.read_parquet(frag_dir)
+    n_before_files = len(os.listdir(frag_dir))
+    # coalesce WITHOUT a shuffle: blocks merge locally to the target count
+    ds.repartition(4, shuffle=False).write_parquet(out_dir)
+
+    n_after_files = len([f for f in os.listdir(out_dir)
+                         if f.endswith(".parquet")])
+    n_rows_out = rd.read_parquet(out_dir).count()
+    n_rows_in = pq.read_metadata(src).num_rows
+    return pa.table({
+        "n_files_before": pa.array([n_before_files], pa.int64()),
+        "n_files_after": pa.array([n_after_files], pa.int64()),
+        "rows_conserved": pa.array([n_rows_out == n_rows_in]),
+        "n_rows": pa.array([n_rows_out], pa.int64()),
+    })

@@ -165,3 +165,30 @@ def test_unigram_logprob_exact(ray_session, tmp_path):
     assert rows[1]["avg_logprob"] == pytest.approx((la + lb + lc) / 3,
                                                    abs=1e-6)
     assert 2 not in rows  # token-less doc has no defined mean
+
+
+def test_jsonl_roundtrip_census(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "lang": ["en", None, "en"],
+                  "text": ["abc", "de", None]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    from crn_meta_validate_ray.pipelines.queries import (
+        jsonl_roundtrip_documents)
+    rows = {r["lang_p"]: r
+            for r in jsonl_roundtrip_documents(str(tmp_path)).take_all()}
+    assert rows["en"]["n_docs"] == 2 and rows["en"]["n_chars"] == 3
+    assert rows["und"]["n_docs"] == 1 and rows["und"]["n_chars"] == 2
+
+
+def test_compact_conserves_rows(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": [f"doc {i}" for i in range(100)]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    from crn_meta_validate_ray.pipelines.queries import compact_documents
+    row = compact_documents(str(tmp_path)).to_pylist()[0]
+    assert row["rows_conserved"] and row["n_rows"] == 100
+    assert row["n_files_after"] < row["n_files_before"]
