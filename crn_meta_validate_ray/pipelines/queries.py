@@ -1567,7 +1567,13 @@ def drift_psi_events(sf_dir: str):
             rows.append({"event_type": et,
                          "n_a": np.int64(tot[0]), "n_b": np.int64(tot[1]),
                          "psi": float(np.sum((p - q) * np.log(p / q)))})
-        out = pd.DataFrame(rows, columns=["event_type", "n_a", "n_b", "psi"])
+        # explicit dtypes so empty buckets union cleanly with full ones
+        out = pd.DataFrame({
+            "event_type": pd.Series([r["event_type"] for r in rows],
+                                    dtype=object),
+            "n_a": pd.Series([r["n_a"] for r in rows], dtype=np.int64),
+            "n_b": pd.Series([r["n_b"] for r in rows], dtype=np.int64),
+            "psi": pd.Series([r["psi"] for r in rows], dtype=np.float64)})
         out["psi"] = pc.round(pa.array(out["psi"], type=pa.float64()),
                               6).to_numpy(zero_copy_only=False)
         return out
@@ -1643,10 +1649,12 @@ def transcript_conv_stats(sf_dir: str):
         out = g.agg(n_turns=("role", "size"),
                     n_roles=("role", "nunique"),
                     sum_chars=("n_chars", "sum")).reset_index()
-        out["n_turns"] = out["n_turns"].astype(np.int64)
-        out["n_roles"] = out["n_roles"].astype(np.int64)
-        out["sum_chars"] = out["sum_chars"].astype(np.int64)
-        return out
+        # explicit dtypes so empty buckets union cleanly with full ones
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].astype(str),
+            "n_turns": out["n_turns"].astype(np.int64),
+            "n_roles": out["n_roles"].astype(np.int64),
+            "sum_chars": out["sum_chars"].astype(np.int64)})
 
     return grouped_map(rows, ["conv_id"], stats)
 
@@ -1908,8 +1916,10 @@ def transcript_role_transitions(sf_dir: str):
                             "role_b": df["role"][keep].to_numpy()})
         g = out.groupby(["role_a", "role_b"], sort=False) \
             .size().reset_index(name="n")
-        g["n"] = g["n"].astype(np.int64)
-        return g
+        # explicit dtypes so empty buckets union cleanly with full ones
+        return pd.DataFrame({"role_a": g["role_a"].astype(str),
+                             "role_b": g["role_b"].astype(str),
+                             "n": g["n"].astype(np.int64)})
 
     part = grouped_map(rows, ["conv_id"], pairs)
     agg = part.groupby(["role_a", "role_b"]) \
