@@ -161,10 +161,11 @@ def run_bench() -> dict:
     return result
 
 
-# 1.7M convs (~24.4M turns): large enough that fixed driver/planning
-# seconds (irrelevant at the 10^12-turn target scale) do not masquerade as
-# scaling loss in a ~13 s high-level run
-SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "1700000"))
+# 3.4M convs (~48M turns): large enough that fixed driver/planning
+# seconds (~3 s, irrelevant at the 10^12-turn target scale) do not
+# masquerade as scaling loss now the high level finishes in ~25 s —
+# measured fixed cost was ~20% of a 14 s run at 24M turns
+SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "3400000"))
 
 
 def _scaling_corpus():
