@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_roundtrip_documents": q.sink_roundtrip_documents,
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
         "compact_documents": q.compact_documents,
+        "chunk_documents": q.chunk_documents,
         "multienum_violations_documents": q.multienum_violations_documents,
         "timestamp_violations_events": q.timestamp_violations_events,
         "decontam_documents": q.decontam_documents,
@@ -591,6 +592,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # compact_documents: file-count census (filesystem state, not SQL-
         # expressible) — rows-only check; row conservation asserted in-row
+        "chunk_documents": r"""
+            WITH ks AS (SELECT unnest(range(0, 64)) AS k),
+            docs AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       coalesce(text, '') AS text
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   CAST(ks.k AS BIGINT) AS chunk_idx,
+                   substr(d.text, CAST(ks.k * 192 + 1 AS BIGINT), 256)
+                       AS chunk,
+                   CAST(length(substr(d.text,
+                        CAST(ks.k * 192 + 1 AS BIGINT), 256)) AS BIGINT)
+                       AS chunk_len
+            FROM docs d JOIN ks ON ks.k * 192 < length(d.text)
+        """,
         "multienum_violations_documents": r"""
             WITH d AS (
                 SELECT doc_id, lang || ';' || source AS tags FROM documents

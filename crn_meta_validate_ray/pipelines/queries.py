@@ -2060,3 +2060,15 @@ def compact_documents(sf_dir: str):
         "rows_conserved": pa.array([n_rows_out == n_rows_in]),
         "n_rows": pa.array([n_rows_out], pa.int64()),
     })
+
+
+def chunk_documents(sf_dir: str):
+    """Fixed-stride character chunking (size=256, stride=192 — overlapping
+    context windows) over documents.text: the standard pre-embedding /
+    retrieval-indexing chunk step.  One-to-many vectorized map_batches,
+    no shuffle (stages/chunking.py)."""
+    from crn_meta_validate_ray.stages.chunking import chunk_text
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return chunk_text(ds, size=256, stride=192)
