@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_verdict": q.transcript_verdict,
         "transcript_resumable": q.transcript_resumable,
         "transcript_conv_stats": q.transcript_conv_stats,
+        "transcript_flatten": q.transcript_flatten,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1105,6 +1106,21 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY conv_id
     """
 
+    flatten_sql = f"""
+        SELECT conv_id, count(*) AS n_turns,
+               string_agg(coalesce(role, 'NA') || ': ' || coalesce(text, ''),
+                          chr(10)
+                          ORDER BY turn_idx,
+                                   coalesce(role, 'NA') || ': '
+                                       || coalesce(text, '')) AS conv_text,
+               CAST(sum(length(coalesce(role, 'NA') || ': '
+                               || coalesce(text, ''))) + count(*) - 1
+                    AS BIGINT) AS n_chars
+        FROM read_parquet('{turns}')
+        WHERE conv_id IS NOT NULL
+        GROUP BY conv_id
+    """
+
     role_transitions_sql = f"""
         WITH t AS (
             SELECT conv_id, turn_idx, coalesce(role, 'NA') AS role
@@ -1131,6 +1147,7 @@ def _transcript_oracles() -> dict[str, str]:
 
     return {
         "transcript_conv_stats": conv_stats_sql,
+        "transcript_flatten": flatten_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -2072,3 +2072,55 @@ def chunk_documents(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"),
                          columns=["doc_id", "text"])
     return chunk_text(ds, size=256, stride=192)
+
+
+def flatten_turns(ds: "rd.Dataset") -> "rd.Dataset":
+    """Turns -> training documents: flatten each conversation to one text
+    blob ("role: text" lines joined under stable (turn_idx, line) order —
+    the per-turn text-equality invariant of the north rule, exercised as
+    an output op).  One hash-bucket exchange co-locates conversations;
+    the wide text column crosses the wire exactly once (inherent: the
+    output IS the text), then each bucket sorts + joins vectorized.
+    Duplicate turn_idx rows (injected V-violations) are tie-broken by the
+    rendered line so engine and SQL agree deterministically; null
+    turn_idx sorts last in both (pandas na_position / SQL NULLS LAST)."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        line = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(t["role"], pa.string()), "NA"),
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""), ": ")
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "line": line,
+        })
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def flatten(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "line"],
+                            kind="stable", na_position="last")
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(n_turns=("line", "size"),
+                    conv_text=("line", "\n".join)).reset_index()
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].astype(str),
+            "n_turns": out["n_turns"].astype(np.int64),
+            "conv_text": out["conv_text"].astype(str),
+            "n_chars": out["conv_text"].str.len().astype(np.int64)})
+
+    return grouped_map(rows, ["conv_id"], flatten)
+
+
+def transcript_flatten(sf_dir: str):
+    """Flatten the transcript corpus to one training document per
+    conversation (see ``flatten_turns``)."""
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "turn_idx", "role", "text"])
+    return flatten_turns(ds)

@@ -404,3 +404,26 @@ def test_empty_exemplar_skips_zero_schema_blocks(ray_session):
     # all-stale: falls back to a zero-column table (bucket fns guard empty)
     ex2 = empty_exemplar([ray.put(pa.table({}))], ["__grp"])
     assert ex2.num_rows == 0 and ex2.num_columns == 0
+
+
+def test_flatten_turns_order_and_nulls(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from crn_meta_validate_ray.pipelines.queries import flatten_turns
+
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2", None, "c2"],
+        "turn_idx": pd.array([1, 0, 0, None, 0, 5], dtype="Int64"),
+        "role": ["assistant", "user", "user", "tool", "user", None],
+        "text": ["hi there", "hello", "abc", "late", "dropped", None],
+    })
+    out = flatten_turns(rd.from_pandas(df).repartition(3)).to_pandas()
+    got = {r.conv_id: r for r in out.itertuples()}
+    assert set(got) == {"c1", "c2"}  # null conv_id dropped
+    # duplicate turn_idx 0 tie-broken by rendered line; idx 1 last
+    assert got["c1"].conv_text == "user: abc\nuser: hello\nassistant: hi there"
+    assert got["c1"].n_turns == 3
+    # null turn_idx sorts last; null role/text coalesce to NA / ''
+    assert got["c2"].conv_text == "NA: \ntool: late"
+    assert got["c2"].n_chars == len("NA: \ntool: late")
