@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
         "compact_documents": q.compact_documents,
         "chunk_documents": q.chunk_documents,
+        "stopword_filter_documents": q.stopword_filter_documents,
         "multienum_violations_documents": q.multienum_violations_documents,
         "timestamp_violations_events": q.timestamp_violations_events,
         "decontam_documents": q.decontam_documents,
@@ -593,6 +594,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # compact_documents: file-count census (filesystem state, not SQL-
         # expressible) — rows-only check; row conservation asserted in-row
+        "stopword_filter_documents": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                FROM documents
+            ), stop AS (
+                SELECT list(tok) AS sl FROM (
+                    SELECT tok FROM toks GROUP BY tok
+                    HAVING count(*) >= CAST(ceil(
+                        0.78 * (SELECT count(*) FROM documents)) AS BIGINT))
+            ), cleaned AS (
+                SELECT doc_id,
+                       string_split(coalesce(text, ''), ' ') AS toks0,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> NOT list_contains(stop.sl, x))
+                           AS kept
+                FROM documents, stop
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                   CAST(length(kept) AS BIGINT) AS n_kept,
+                   CAST(length(toks0) - length(kept) AS BIGINT) AS n_dropped
+            FROM cleaned
+        """,
         "chunk_documents": r"""
             WITH ks AS (SELECT unnest(range(0, 64)) AS k),
             docs AS (

@@ -2124,3 +2124,15 @@ def transcript_flatten(sf_dir: str):
     ds = rd.read_parquet(info["turns_dir"],
                          columns=["conv_id", "turn_idx", "role", "text"])
     return flatten_turns(ds)
+
+
+def stopword_filter_documents(sf_dir: str):
+    """Corpus-DF-driven stop-token removal (C4-boilerplate shape at token
+    granularity — see stages/vocab.py): tokens present in >=78% of
+    documents are stripped map-only after a combiner DF pass + one small
+    broadcast."""
+    from crn_meta_validate_ray.stages.vocab import remove_frequent_tokens
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return remove_frequent_tokens(ds, min_df_frac=0.78)
