@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_documents": q.compact_documents,
         "chunk_documents": q.chunk_documents,
         "stopword_filter_documents": q.stopword_filter_documents,
+        "incremental_dedup_documents": q.incremental_dedup_documents,
         "multienum_violations_documents": q.multienum_violations_documents,
         "timestamp_violations_events": q.timestamp_violations_events,
         "decontam_documents": q.decontam_documents,
@@ -594,6 +595,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # compact_documents: file-count census (filesystem state, not SQL-
         # expressible) — rows-only check; row conservation asserted in-row
+        "incremental_dedup_documents": r"""
+            WITH snapshot AS (
+                SELECT coalesce(text, '') AS text FROM documents
+            ), newbatch AS (
+                SELECT CAST(doc_id + 10000 AS BIGINT) AS doc_id,
+                       coalesce(text, '') AS text
+                FROM documents WHERE doc_id % 10 < 4
+                UNION ALL
+                SELECT CAST(doc_id + 20000 AS BIGINT),
+                       coalesce(text, '') || ' <edit>'
+                FROM documents WHERE doc_id % 10 >= 7
+            )
+            SELECT n.doc_id, n.text FROM newbatch n
+            WHERE NOT EXISTS (SELECT 1 FROM snapshot s
+                              WHERE s.text = n.text)
+        """,
         "stopword_filter_documents": r"""
             WITH toks AS (
                 SELECT DISTINCT doc_id,

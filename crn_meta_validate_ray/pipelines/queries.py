@@ -2136,3 +2136,46 @@ def stopword_filter_documents(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"),
                          columns=["doc_id", "text"])
     return remove_frequent_tokens(ds, min_df_frac=0.78)
+
+
+def incremental_dedup_documents(sf_dir: str):
+    """Incremental dedup of a new batch against a corpus snapshot via the
+    distributed Bloom filter (stages/bloom.py): snapshot -> bitmap ->
+    broadcast -> map-only probe; only Bloom candidates pay the exact
+    anti-join.  The new batch is derived in-query: 40% verbatim copies of
+    snapshot docs (must drop) + 30% edit-perturbed docs (must survive)."""
+    from crn_meta_validate_ray.stages.bloom import incremental_dedup
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text": pc.fill_null(pc.cast(t["text"], pa.string()), "")})
+
+    snap = ds.map_batches(norm, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def copies(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        m = np.asarray(ids) % 10 < 4
+        sub = t.filter(pa.array(m))
+        return pa.table({
+            "doc_id": pc.add(pc.cast(sub["doc_id"], pa.int64()),
+                             pa.scalar(10000, pa.int64())),
+            "text": sub["text"]})
+
+    def edits(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        m = np.asarray(ids) % 10 >= 7
+        sub = t.filter(pa.array(m))
+        return pa.table({
+            "doc_id": pc.add(pc.cast(sub["doc_id"], pa.int64()),
+                             pa.scalar(20000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                sub["text"], pa.scalar(" <edit>", pa.string()), "")})
+
+    new_batch = snap.map_batches(copies, batch_format="pyarrow") \
+        .union(snap.map_batches(edits, batch_format="pyarrow"))
+    return incremental_dedup(new_batch, snap, key_col="text")

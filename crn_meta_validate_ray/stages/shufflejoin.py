@@ -265,6 +265,15 @@ def hash_join(
         if salted:
             fields.append(pa.field("__salt", pa.int64()))
         rschema_full = pa.schema(fields)
+    if left_on not in lschema_full.names:
+        # fully-empty left side (all blocks schema-less): synthesize the
+        # key so bucket tasks never index a missing column
+        key_type = rschema_full.field(right_on).type \
+            if right_on in rschema_full.names else pa.string()
+        fields = [pa.field(left_on, key_type)]
+        if salted:
+            fields.append(pa.field("__salt", pa.int64()))
+        lschema_full = pa.schema(fields)
     # empty exemplars keep the (possibly salted) exchange schema; the
     # OUTPUT schema is always salt-free
     empty_left = lschema_full.empty_table()
