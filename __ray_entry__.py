@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q.chunk_documents,
         "stopword_filter_documents": q.stopword_filter_documents,
         "incremental_dedup_documents": q.incremental_dedup_documents,
+        "covariance_embeddings": q.covariance_embeddings,
+        "rank_normalize_events": q.rank_normalize_events,
         "multienum_violations_documents": q.multienum_violations_documents,
         "timestamp_violations_events": q.timestamp_violations_events,
         "decontam_documents": q.decontam_documents,
@@ -595,6 +597,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # compact_documents: file-count census (filesystem state, not SQL-
         # expressible) — rows-only check; row conservation asserted in-row
+        "rank_normalize_events": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(value AS DOUBLE) AS value,
+                   CAST(rank() OVER (ORDER BY value) - 1 AS BIGINT)
+                       AS rank_lt,
+                   percent_rank() OVER (ORDER BY value) AS pr
+            FROM events WHERE value IS NOT NULL
+        """,
+        "covariance_embeddings": r"""
+            WITH idx AS (SELECT unnest(range(1, 65)) AS k),
+            stats AS (
+                SELECT a.k AS i, b.k AS j,
+                       sum(CAST(e.embedding[a.k] AS DOUBLE)
+                           * CAST(e.embedding[b.k] AS DOUBLE)) AS sxy,
+                       avg(CAST(e.embedding[a.k] AS DOUBLE)) AS mi,
+                       avg(CAST(e.embedding[b.k] AS DOUBLE)) AS mj,
+                       count(*) AS n
+                FROM embeddings e, idx a, idx b
+                GROUP BY a.k, b.k
+            )
+            SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   round(sxy / n - mi * mj, 5) AS cov
+            FROM stats
+        """,
         "incremental_dedup_documents": r"""
             WITH snapshot AS (
                 SELECT coalesce(text, '') AS text FROM documents

@@ -2179,3 +2179,79 @@ def incremental_dedup_documents(sf_dir: str):
     new_batch = snap.map_batches(copies, batch_format="pyarrow") \
         .union(snap.map_batches(edits, batch_format="pyarrow"))
     return incremental_dedup(new_batch, snap, key_col="text")
+
+
+def covariance_embeddings(sf_dir: str):
+    """Embedding covariance matrix (whitening / PCA precursor) via the
+    augmented-moment scatter-add (stages/linalg.py): one Gram matmul per
+    batch, only (d+1)^2 scalars per batch cross the exchange."""
+    from crn_meta_validate_ray.stages.linalg import covariance
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"])
+    return covariance(ds)
+
+
+def rank_normalize_events(sf_dir: str):
+    """Percent-rank feature normalization (rank transform): every value
+    mapped to its global quantile position — the distribution-free
+    normalization used for heavy-tailed features.  Fully distributed
+    composition of existing primitives: per-batch value-count partials ->
+    small (value, count) groupby -> ordered_prefix_sum over distinct
+    values (rank_lt = run_sum - count) -> hash_join back to rows.  Only
+    distinct values cross the scan + join exchanges; pr = rank_lt/(n-1)
+    is integer division on both sides, so parity is exact (no rounding)."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.scan import ordered_prefix_sum
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "value"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value": pc.cast(t["value"], pa.float64())})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    n = rows.count()
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"].to_pandas(), dtype=np.float64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    counts = rows.map_batches(vc_partial, batch_format="pyarrow") \
+        .groupby("value").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def cast_counts(t: pa.Table) -> pa.Table:
+        return pa.table({"value": pc.cast(t["value"], pa.float64()),
+                         "cnt": pc.cast(t["cnt"], pa.int64())})
+
+    scanned = ordered_prefix_sum(
+        counts.map_batches(cast_counts, batch_format="pyarrow"),
+        "value", "cnt", out_col="run", integer=True)
+
+    def to_rank(t: pa.Table) -> pa.Table:
+        run = np.asarray(t["run"].to_pandas(), dtype=np.int64)
+        cnt = np.asarray(t["cnt"].to_pandas(), dtype=np.int64)
+        return pa.table({"value": t["value"],
+                         "rank_lt": pa.array(run - cnt)})
+
+    ranks = scanned.map_batches(to_rank, batch_format="pyarrow")
+    joined = hash_join(rows, ranks, left_on="value",
+                       validate_unique_right=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        rl = np.asarray(t["rank_lt"].to_pandas(), dtype=np.float64)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value": pc.cast(t["value"], pa.float64()),
+            "rank_lt": pc.cast(t["rank_lt"], pa.int64()),
+            "pr": pa.array(rl / max(n - 1, 1)),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -38,3 +38,14 @@ def test_prefix_sum_empty(ray_session):
                                  "v": pa.array([], pa.int64())}))
     out = ordered_prefix_sum(ds, "k", "v")
     assert out.count() == 0
+
+
+def test_rank_normalize_ties_match_pandas(ray_session):
+    from crn_meta_validate_ray.pipelines.queries import rank_normalize_events
+    out = rank_normalize_events("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = out.sort_values("event_id")["value"] \
+        .rank(method="min").astype(int) - 1
+    assert (out["rank_lt"].to_numpy() == want.to_numpy()).all()
+    n = len(out)
+    np.testing.assert_allclose(out["pr"], out["rank_lt"] / (n - 1))
