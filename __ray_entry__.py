@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_resumable": q.transcript_resumable,
         "transcript_conv_stats": q.transcript_conv_stats,
         "transcript_flatten": q.transcript_flatten,
+        "transcript_pairs": q.transcript_pairs,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1189,6 +1190,25 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY conv_id
     """
 
+    pairs_sql = f"""
+        WITH t AS (
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   coalesce(role, 'NA') AS role,
+                   coalesce(text, '') AS text
+            FROM read_parquet('{turns}')
+            WHERE conv_id IS NOT NULL
+        ), lagd AS (
+            SELECT conv_id, turn_idx, role, text,
+                   lag(role) OVER w AS prev_role,
+                   lag(text) OVER w AS prompt
+            FROM t
+            WINDOW w AS (PARTITION BY conv_id
+                         ORDER BY turn_idx, role, text)
+        )
+        SELECT conv_id, turn_idx, prompt, text AS response
+        FROM lagd WHERE prev_role = 'user' AND role = 'assistant'
+    """
+
     role_transitions_sql = f"""
         WITH t AS (
             SELECT conv_id, turn_idx, coalesce(role, 'NA') AS role
@@ -1216,6 +1236,7 @@ def _transcript_oracles() -> dict[str, str]:
     return {
         "transcript_conv_stats": conv_stats_sql,
         "transcript_flatten": flatten_sql,
+        "transcript_pairs": pairs_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -2255,3 +2255,48 @@ def rank_normalize_events(sf_dir: str):
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def transcript_pairs(sf_dir: str):
+    """(user prompt -> assistant response) pair extraction — the
+    canonical SFT-training-pair op over transcripts.  Same co-located
+    ordered-sequence machinery as transcript_role_transitions: narrow
+    (conv_id, turn_idx, role, text) rows through one hash-bucket
+    exchange; per bucket a stable (turn_idx, role, text) sort + group
+    shift, emitting a pair wherever a user turn immediately precedes an
+    assistant turn.  Corpus-injected duplicate turns are full-row
+    copies, and the tiebreak keys include the payload, so engine and SQL
+    lag() agree deterministically."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "turn_idx", "role", "text"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "role": pc.fill_null(pc.cast(t["role"], pa.string()), "NA"),
+            "text": pc.fill_null(pc.cast(t["text"], pa.string()), "")})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "role", "text"],
+                            kind="stable", na_position="last")
+        g = df.groupby("conv_id", sort=False)
+        prev_role = g["role"].shift(1)
+        prev_text = g["text"].shift(1)
+        keep = (prev_role == "user") & (df["role"] == "assistant")
+        return pd.DataFrame({
+            "conv_id": df["conv_id"][keep].astype(str),
+            "turn_idx": df["turn_idx"][keep].astype(np.int64),
+            "prompt": prev_text[keep].astype(str),
+            "response": df["text"][keep].astype(str)})
+
+    return grouped_map(rows, ["conv_id"], extract)
