@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": q.incremental_dedup_documents,
         "covariance_embeddings": q.covariance_embeddings,
         "rank_normalize_events": q.rank_normalize_events,
+        "pca_embeddings": q.pca_embeddings,
         "multienum_violations_documents": q.multienum_violations_documents,
         "timestamp_violations_events": q.timestamp_violations_events,
         "decontam_documents": q.decontam_documents,

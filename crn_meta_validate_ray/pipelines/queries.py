@@ -2300,3 +2300,17 @@ def transcript_pairs(sf_dir: str):
             "response": df["text"][keep].astype(str)})
 
     return grouped_map(rows, ["conv_id"], extract)
+
+
+def pca_embeddings(sf_dir: str):
+    """PCA projection to 8 components (stages/linalg.pca_project):
+    distributed moment reduction -> driver eigh of the tiny d x d
+    covariance -> broadcast map-only projection.  No SQL oracle
+    (eigendecomposition is not SQL-expressible); exactness vs numpy PCA
+    is pytest-verified (test_linalg.py), rows-only check here."""
+    from crn_meta_validate_ray.stages.linalg import pca_project
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out, _info = pca_project(ds, n_components=8)
+    return out

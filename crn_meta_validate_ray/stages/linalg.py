@@ -76,3 +76,66 @@ def covariance(ds: "rd.Dataset", *, vec_col: str = "embedding",
         "i": pa.array(np.repeat(np.arange(1, d + 1, dtype=np.int64), d)),
         "j": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), d)),
         "cov": pa.array(cov.ravel())})
+
+
+def pca_project(ds: "rd.Dataset", *, n_components: int,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> tuple["rd.Dataset", dict]:
+    """PCA dimensionality reduction of an embedding column.
+
+    The expensive part — the covariance estimate — is the distributed
+    moment reduction above; the eigendecomposition is a driver-side
+    ``numpy.linalg.eigh`` of the tiny d×d matrix, and the projection is
+    a map-only broadcast matmul (components shipped once via ``ray.put``,
+    read zero-copy per task).  Component sign is fixed deterministically
+    (largest-|loading| coordinate made positive) so results don't depend
+    on LAPACK build details.
+
+    Returns (projected rows: id_col + ``pc`` list<double>, info dict
+    with eigenvalues and explained-variance ratio).
+    """
+    import ray
+
+    rows = moment_partials(ds, vec_col=vec_col).take_all()
+    if not rows:
+        empty = rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "pc": pa.array([], pa.list_(pa.float64()))}))
+        return empty, {"eigenvalues": [], "explained_ratio": []}
+    d1 = max(r["i"] for r in rows) + 1
+    g = np.zeros((d1, d1), dtype=np.float64)
+    for r in rows:
+        g[r["i"], r["j"]] = r["s"]
+    n = g[0, 0]
+    mu = g[0, 1:] / n
+    cov = g[1:, 1:] / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order]                  # (d, k)
+    # deterministic sign: make the largest-|loading| coordinate positive
+    pivot = np.argmax(np.abs(comps), axis=0)
+    signs = np.sign(comps[pivot, np.arange(comps.shape[1])])
+    signs[signs == 0] = 1.0
+    comps = comps * signs
+    evals = w[order]
+    total = float(np.trace(cov))
+    info = {"eigenvalues": evals.tolist(),
+            "explained_ratio": (evals / total).tolist() if total else []}
+    state = ray.put((mu, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu_, comps_ = ray.get(state)
+        m = _matrix(t, vec_col).astype(np.float64)
+        proj = (m - mu_) @ comps_ if m.size else \
+            np.zeros((0, comps_.shape[1]))
+        k = comps_.shape[1]
+        return pa.table({
+            id_col: pa.array(np.asarray(t[id_col].to_pandas(),
+                                        dtype=np.int64)),
+            "pc": pa.FixedSizeListArray.from_arrays(
+                pa.array(proj.ravel(), type=pa.float64()), k).cast(
+                    pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True), info
