@@ -147,6 +147,18 @@ def run_bench() -> dict:
                                      consume(q.hopping_events(SF_DIR)),
                                      consume(q.sessions_events(SF_DIR))))
 
+    def flatten_pairs():
+        # turns -> per-conversation documents + SFT prompt/response pairs
+        # over the full bench corpus (text-heavy exchange incl. the
+        # 100k-turn mega-conversation)
+        turns = rd.read_parquet(info["turns_dir"],
+                                columns=["conv_id", "turn_idx",
+                                         "role", "text"])
+        return (consume(q.flatten_turns(turns)),
+                consume(q.extract_pairs(turns)))
+
+    timed("transcript_flatten_pairs", flatten_pairs)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "end-to-end wall-clock, full validation + dataprep suite",

@@ -2257,7 +2257,7 @@ def rank_normalize_events(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
-def transcript_pairs(sf_dir: str):
+def extract_pairs(ds: "rd.Dataset") -> "rd.Dataset":
     """(user prompt -> assistant response) pair extraction — the
     canonical SFT-training-pair op over transcripts.  Same co-located
     ordered-sequence machinery as transcript_role_transitions: narrow
@@ -2270,10 +2270,6 @@ def transcript_pairs(sf_dir: str):
     import pandas as pd
 
     from crn_meta_validate_ray.stages.common import grouped_map
-
-    info = _transcript_corpus(sf_dir)
-    ds = rd.read_parquet(info["turns_dir"],
-                         columns=["conv_id", "turn_idx", "role", "text"])
 
     def narrow(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["conv_id"]))
@@ -2300,6 +2296,15 @@ def transcript_pairs(sf_dir: str):
             "response": df["text"][keep].astype(str)})
 
     return grouped_map(rows, ["conv_id"], extract)
+
+
+def transcript_pairs(sf_dir: str):
+    """SFT pair extraction over the transcript corpus (see
+    ``extract_pairs``)."""
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "turn_idx", "role", "text"])
+    return extract_pairs(ds)
 
 
 def pca_embeddings(sf_dir: str):
