@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_stats": q.transcript_conv_stats,
         "transcript_flatten": q.transcript_flatten,
         "transcript_pairs": q.transcript_pairs,
+        "pack_conversations": q.pack_conversations,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1210,6 +1211,36 @@ def _transcript_oracles() -> dict[str, str]:
         FROM lagd WHERE prev_role = 'user' AND role = 'assistant'
     """
 
+    pack_conv_sql = f"""
+        WITH conv AS (
+            SELECT conv_id,
+                   string_agg(coalesce(role, 'NA') || ': '
+                                  || coalesce(text, ''), chr(10)
+                              ORDER BY turn_idx,
+                                       coalesce(role, 'NA') || ': '
+                                           || coalesce(text, ''))
+                       AS conv_text
+            FROM read_parquet('{turns}')
+            WHERE conv_id IS NOT NULL
+            GROUP BY conv_id
+        ), toks AS (
+            SELECT conv_id,
+                   length(regexp_extract_all(coalesce(conv_text, ''),
+                                             '\\S+')) AS n_tokens
+            FROM conv
+        ), scan AS (
+            SELECT conv_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY conv_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS run_sum
+            FROM toks
+        )
+        SELECT conv_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor((run_sum - n_tokens) / 4096.0) AS BIGINT)
+                   AS bin_id
+        FROM scan
+    """
+
     role_transitions_sql = f"""
         WITH t AS (
             SELECT conv_id, turn_idx, coalesce(role, 'NA') AS role
@@ -1238,6 +1269,7 @@ def _transcript_oracles() -> dict[str, str]:
         "transcript_conv_stats": conv_stats_sql,
         "transcript_flatten": flatten_sql,
         "transcript_pairs": pairs_sql,
+        "pack_conversations": pack_conv_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -2319,3 +2319,37 @@ def pca_embeddings(sf_dir: str):
                          columns=["vec_id", "embedding"])
     out, _info = pca_project(ds, n_components=8)
     return out
+
+
+def pack_conversations(sf_dir: str):
+    """Conversation-level sequence packing: flatten each conversation to
+    its training document, count its tokens, and assign conversations in
+    conv_id order to fixed 4096-token training shards by running token
+    offset — flatten_turns composed with the distributed two-phase scan
+    (stages/scan.py).  The driver folds only per-block totals."""
+    from crn_meta_validate_ray.functions.text import token_count
+    from crn_meta_validate_ray.stages.scan import ordered_prefix_sum
+
+    info = _transcript_corpus(sf_dir)
+    turns = rd.read_parquet(info["turns_dir"],
+                            columns=["conv_id", "turn_idx", "role",
+                                     "text"])
+    flat = flatten_turns(turns)
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": pc.cast(t["conv_id"], pa.string()),
+            "n_tokens": pc.cast(token_count(t["conv_text"]), pa.int64())})
+
+    narrow = flat.map_batches(tok, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    scanned = ordered_prefix_sum(narrow, "conv_id", "n_tokens",
+                                 out_col="run_sum", integer=True)
+
+    def binify(t: pa.Table) -> pa.Table:
+        run = np.asarray(t["run_sum"].to_pandas(), dtype=np.int64)
+        n = np.asarray(t["n_tokens"].to_pandas(), dtype=np.int64)
+        return pa.table({"conv_id": t["conv_id"], "n_tokens": t["n_tokens"],
+                         "bin_id": pa.array((run - n) // 4096)})
+
+    return scanned.map_batches(binify, batch_format="pyarrow")
