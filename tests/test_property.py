@@ -56,3 +56,37 @@ def test_normalization_matches_oracle(values):
     got = normalize_null_like(pa.array(values, type=pa.string())).to_pylist()
     want = oracle_normalize(pd.DataFrame({"x": values}))["x"].tolist()
     assert got == want
+
+
+# --- fixed-stride chunking vs SQL substr semantics (codepoints) ---
+
+doc_text = st.one_of(
+    st.text(max_size=40),
+    st.text(alphabet="äöüß日本語🙂x \n", max_size=40),
+    st.none(),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=st.lists(doc_text, min_size=1, max_size=8),
+       size=st.integers(1, 9), stride=st.integers(1, 9))
+def test_chunk_table_matches_substr(texts, size, stride):
+    import duckdb
+
+    from crn_meta_validate_ray.stages.chunking import chunk_table
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = chunk_table(t, text_col="text", id_col="doc_id",
+                      size=size, stride=stride).to_pydict()
+    want = duckdb.sql(f"""
+        WITH ks AS (SELECT unnest(range(0, 64)) AS k),
+        docs AS (SELECT CAST(doc_id AS BIGINT) doc_id,
+                        coalesce(text,'') AS text FROM t)
+        SELECT d.doc_id, ks.k AS chunk_idx,
+               substr(d.text, CAST(ks.k*{stride}+1 AS BIGINT), {size}) AS c
+        FROM docs d JOIN ks ON ks.k*{stride} < length(d.text)
+        ORDER BY d.doc_id, chunk_idx
+    """).fetchall()
+    pairs = sorted(zip(got["doc_id"], got["chunk_idx"], got["chunk"]))
+    assert pairs == [(r[0], r[1], r[2]) for r in want]
