@@ -646,7 +646,7 @@ def oracle_sql() -> dict[str, str]:
                        unnest(string_split(coalesce(text, ''), ' ')) AS tok
                 FROM documents
             ), stop AS (
-                SELECT list(tok) AS sl FROM (
+                SELECT coalesce(list(tok), []) AS sl FROM (
                     SELECT tok FROM toks GROUP BY tok
                     HAVING count(*) >= CAST(ceil(
                         0.78 * (SELECT count(*) FROM documents)) AS BIGINT))
@@ -665,7 +665,10 @@ def oracle_sql() -> dict[str, str]:
             FROM cleaned
         """,
         "chunk_documents": r"""
-            WITH ks AS (SELECT unnest(range(0, 64)) AS k),
+            WITH ks AS (SELECT unnest(range(0, (
+                    SELECT CAST(ceil(max(length(coalesce(text, '')))
+                                     / 192.0) AS BIGINT) + 1
+                    FROM documents))) AS k),
             docs AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,
                        coalesce(text, '') AS text

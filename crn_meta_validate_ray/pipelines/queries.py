@@ -2216,7 +2216,6 @@ def rank_normalize_events(sf_dir: str):
 
     rows = ds.map_batches(narrow, batch_format="pyarrow",
                           zero_copy_batch=True)
-    n = rows.count()
 
     def vc_partial(t: pa.Table) -> pa.Table:
         v = np.asarray(t["value"].to_pandas(), dtype=np.float64)
@@ -2231,9 +2230,14 @@ def rank_normalize_events(sf_dir: str):
         return pa.table({"value": pc.cast(t["value"], pa.float64()),
                          "cnt": pc.cast(t["cnt"], pa.int64())})
 
+    # materialize the (distinct value, count) scan output — bounded by
+    # value cardinality, not row count — so deriving n from it does not
+    # re-execute the pipeline, and the big table is scanned only twice
+    # (value-count pass + join probe), never for a bare count()
     scanned = ordered_prefix_sum(
         counts.map_batches(cast_counts, batch_format="pyarrow"),
-        "value", "cnt", out_col="run", integer=True)
+        "value", "cnt", out_col="run", integer=True).materialize()
+    n = int(scanned.max("run") or 0)
 
     def to_rank(t: pa.Table) -> pa.Table:
         run = np.asarray(t["run"].to_pandas(), dtype=np.int64)
@@ -2291,7 +2295,7 @@ def extract_pairs(ds: "rd.Dataset") -> "rd.Dataset":
         keep = (prev_role == "user") & (df["role"] == "assistant")
         return pd.DataFrame({
             "conv_id": df["conv_id"][keep].astype(str),
-            "turn_idx": df["turn_idx"][keep].astype(np.int64),
+            "turn_idx": df["turn_idx"][keep].astype("Int64"),
             "prompt": prev_text[keep].astype(str),
             "response": df["text"][keep].astype(str)})
 

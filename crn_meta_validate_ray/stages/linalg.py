@@ -51,6 +51,18 @@ def moment_partials(ds: "rd.Dataset", *, vec_col: str = "embedding"
         .groupby(["i", "j"]).aggregate(Sum("s", alias_name="s"))
 
 
+def _fold_moments(rows) -> tuple[float, np.ndarray, np.ndarray]:
+    """Fold merged (i, j, s) moment rows into (n, mean, covariance)."""
+    d1 = max(r["i"] for r in rows) + 1
+    g = np.zeros((d1, d1), dtype=np.float64)
+    for r in rows:
+        g[r["i"], r["j"]] = r["s"]
+    n = g[0, 0]
+    mu = g[0, 1:] / n
+    cov = g[1:, 1:] / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
 def covariance(ds: "rd.Dataset", *, vec_col: str = "embedding",
                ndigits: int | None = 5) -> pa.Table:
     """Population covariance matrix as (i, j, cov) rows, 1-based dims.
@@ -62,16 +74,10 @@ def covariance(ds: "rd.Dataset", *, vec_col: str = "embedding",
         return pa.table({"i": pa.array([], type=pa.int64()),
                          "j": pa.array([], type=pa.int64()),
                          "cov": pa.array([], type=pa.float64())})
-    d1 = max(r["i"] for r in rows) + 1
-    g = np.zeros((d1, d1), dtype=np.float64)
-    for r in rows:
-        g[r["i"], r["j"]] = r["s"]
-    n = g[0, 0]
-    mu = g[0, 1:] / n
-    cov = g[1:, 1:] / n - np.outer(mu, mu)
+    _n, _mu, cov = _fold_moments(rows)
     if ndigits is not None:
         cov = np.round(cov, ndigits)
-    d = d1 - 1
+    d = cov.shape[0]
     return pa.table({
         "i": pa.array(np.repeat(np.arange(1, d + 1, dtype=np.int64), d)),
         "j": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), d)),
@@ -102,13 +108,7 @@ def pca_project(ds: "rd.Dataset", *, n_components: int,
             id_col: pa.array([], pa.int64()),
             "pc": pa.array([], pa.list_(pa.float64()))}))
         return empty, {"eigenvalues": [], "explained_ratio": []}
-    d1 = max(r["i"] for r in rows) + 1
-    g = np.zeros((d1, d1), dtype=np.float64)
-    for r in rows:
-        g[r["i"], r["j"]] = r["s"]
-    n = g[0, 0]
-    mu = g[0, 1:] / n
-    cov = g[1:, 1:] / n - np.outer(mu, mu)
+    _n, mu, cov = _fold_moments(rows)
     w, v = np.linalg.eigh(cov)          # ascending eigenvalues
     order = np.argsort(w)[::-1][:n_components]
     comps = v[:, order]                  # (d, k)

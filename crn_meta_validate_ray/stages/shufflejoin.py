@@ -265,9 +265,10 @@ def hash_join(
         if salted:
             fields.append(pa.field("__salt", pa.int64()))
         rschema_full = pa.schema(fields)
-    if left_on not in lschema_full.names:
+    if not lschema_full.names:
         # fully-empty left side (all blocks schema-less): synthesize the
-        # key so bucket tasks never index a missing column
+        # key so bucket tasks never index a missing column.  A non-empty
+        # left that merely lacks left_on must still fail loudly.
         key_type = rschema_full.field(right_on).type \
             if right_on in rschema_full.names else pa.string()
         fields = [pa.field(left_on, key_type)]

@@ -427,3 +427,24 @@ def test_flatten_turns_order_and_nulls(ray_session):
     # null turn_idx sorts last; null role/text coalesce to NA / ''
     assert got["c2"].conv_text == "NA: \ntool: late"
     assert got["c2"].n_chars == len("NA: \ntool: late")
+
+
+def test_extract_pairs_null_turn_idx(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from crn_meta_validate_ray.pipelines.queries import extract_pairs
+
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c2"],
+        "turn_idx": pd.array([0, None, 0, 1], dtype="Int64"),
+        "role": ["user", "assistant", "user", "assistant"],
+        "text": ["q1", "a1", "q2", "a2"],
+    })
+    out = extract_pairs(rd.from_pandas(df).repartition(2)).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    # null turn_idx sorts last, so the pair is still extracted (SQL lag
+    # parity) and the null survives into the output instead of crashing
+    assert out["prompt"].tolist() == ["q1", "q2"]
+    assert out["response"].tolist() == ["a1", "a2"]
+    assert pd.isna(out["turn_idx"].iloc[0]) and out["turn_idx"].iloc[1] == 1
