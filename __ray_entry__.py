@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_events": q.hopping_events,
         "sessions_events": q.sessions_events,
         "running_totals_events": q.running_totals_events,
+        "moving_avg_events": q.moving_avg_events,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
@@ -968,6 +969,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "moving_avg_events": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS win_n,
+                   round(sum(value) OVER w, 4) AS win_sum,
+                   round(sum(value) OVER w / count(*) OVER w, 4)
+                       AS win_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "quantiles_lineitem": """
             -- q values are binary-exact (k/2^m) so q*n is integer-exact

@@ -2357,3 +2357,24 @@ def pack_conversations(sf_dir: str):
                          "bin_id": pa.array((run - n) // 4096)})
 
     return scanned.map_batches(binify, batch_format="pyarrow")
+
+
+def moving_avg_events(sf_dir: str):
+    """Per-user moving average over the last 4 events in event-time order
+    (stages/window.moving_aggregate): the rolling smoothing feature,
+    computed with one hash-bucket exchange + grouped cumsum differences."""
+    from crn_meta_validate_ray.stages.window import moving_aggregate
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = moving_aggregate(ds, window=4)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "win_n": pc.cast(t["win_n"], pa.int64()),
+            "win_sum": pc.round(t["win_sum"], 4),
+            "win_avg": pc.round(t["win_avg"], 4)})
+
+    return out.map_batches(cast, batch_format="pyarrow")

@@ -197,3 +197,46 @@ def sessionize(ds: "rd.Dataset", *, user_col: str = "user_id",
         return res
 
     return grouped_map(ds.select_columns(cols), [user_col], per_bucket)
+
+
+def moving_aggregate(ds: "rd.Dataset", *, key_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     id_col: str = "event_id", window: int = 4,
+                     num_buckets: int | None = None) -> "rd.Dataset":
+    """Per-key moving-window aggregates over the last ``window`` rows in
+    event-time order — the ROWS-(k-1)-PRECEDING window function (rolling
+    count/sum/mean), the smoothing/trend feature builder.  Same
+    partitioning shape as ``running_aggregate``: one hash-bucket exchange
+    co-locates keys, then one vectorized sort + grouped cumsum-difference
+    (cs - cs.shift(window)) computes every key's rolling sums at once —
+    no per-row loop, no global sort."""
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    narrow = ds.select_columns([key_col, ts_col, value_col, id_col])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                key_col: pd.Series(dtype=np.int64),
+                "win_n": pd.Series(dtype=np.int64),
+                "win_sum": pd.Series(dtype=np.float64),
+                "win_avg": pd.Series(dtype=np.float64)})
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        g = df.groupby(key_col, sort=False)
+        cs = g[value_col].cumsum().to_numpy(dtype=np.float64)
+        pos = g.cumcount().to_numpy(dtype=np.int64)
+        csf = pd.DataFrame({"k": df[key_col].to_numpy(), "cs": cs})
+        lagged = csf.groupby("k", sort=False)["cs"].shift(window) \
+            .fillna(0.0).to_numpy(dtype=np.float64)
+        win_n = np.minimum(pos + 1, window)
+        win_sum = cs - lagged
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            key_col: df[key_col].to_numpy(),
+            "win_n": win_n,
+            "win_sum": win_sum,
+            "win_avg": win_sum / win_n})
+
+    return grouped_map(narrow, [key_col], per_bucket,
+                       num_buckets=num_buckets)

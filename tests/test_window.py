@@ -150,3 +150,31 @@ def test_exact_quantiles_disc_semantics(ray_session):
     out2 = {r["q"]: r["value"]
             for r in exact_quantiles(ds2, "x", [0.5, 1.0]).to_pylist()}
     assert out2[0.5] == 2.0 and out2[1.0] == 4.0
+
+
+def test_moving_aggregate_matches_pandas_rolling(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crn_meta_validate_ray.stages.window import moving_aggregate
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 40, n),
+        "ts": rng.integers(0, 10_000, n),
+        "value": rng.normal(size=n).round(3),
+    })
+    out = moving_aggregate(rd.from_pandas(df).repartition(6), window=4) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    roll = want.groupby("user_id", sort=False)["value"] \
+        .rolling(4, min_periods=1).sum().reset_index(level=0, drop=True)
+    want = want.assign(win_sum=roll).sort_values("event_id") \
+        .reset_index(drop=True)
+    np.testing.assert_allclose(out["win_sum"], want["win_sum"], atol=1e-9)
+    assert (out["win_n"] <= 4).all() and (out["win_n"] >= 1).all()
+    np.testing.assert_allclose(out["win_avg"],
+                               out["win_sum"] / out["win_n"], atol=1e-12)
