@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_events": q.sessions_events,
         "running_totals_events": q.running_totals_events,
         "moving_avg_events": q.moving_avg_events,
+        "user_features_events": q.user_features_events,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
@@ -969,6 +970,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "user_features_events": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   count(*) FILTER (WHERE event_type = 'click')
+                       AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')
+                       AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')
+                       AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   round(sum(value), 4) AS sum_value,
+                   CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+                       AS span_s
+            FROM events GROUP BY user_id
         """,
         "moving_avg_events": """
             SELECT event_id, user_id,

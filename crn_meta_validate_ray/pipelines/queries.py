@@ -2378,3 +2378,62 @@ def moving_avg_events(sf_dir: str):
             "win_avg": pc.round(t["win_avg"], 4)})
 
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def user_features_events(sf_dir: str):
+    """Per-entity feature-vector aggregation (the classic featurization
+    pivot): one row per user with per-event-type counts, total value and
+    activity span.  Batch-local combiner — each batch folds its rows into
+    (user, n_click, ..., sum_value, min_ts, max_ts) partials via
+    factorize + bincount, so only |users|-bounded partial rows cross the
+    groupby exchange, never events."""
+    import pandas as pd
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        users, uinv = np.unique(df["user_id"].to_numpy(np.int64),
+                                return_inverse=True)
+        n_u = len(users)
+        cols = {"user_id": users}
+        tcodes = pd.Categorical(df["event_type"],
+                                categories=TYPES).codes
+        for ti, name in enumerate(TYPES):
+            cols[f"n_{name}"] = np.bincount(
+                uinv[tcodes == ti], minlength=n_u).astype(np.int64)
+        cols["sum_value"] = np.bincount(
+            uinv, weights=df["value"].to_numpy(np.float64),
+            minlength=n_u)
+        ts = df["ts"].astype("int64").to_numpy()
+        gmin = np.full(n_u, np.iinfo(np.int64).max)
+        gmax = np.full(n_u, np.iinfo(np.int64).min)
+        np.minimum.at(gmin, uinv, ts)
+        np.maximum.at(gmax, uinv, ts)
+        cols["min_ts"], cols["max_ts"] = gmin, gmax
+        return pa.Table.from_pydict(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            *[Sum(f"n_{n}", alias_name=f"n_{n}") for n in TYPES],
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_ts", alias_name="min_ts"),
+            Max("max_ts", alias_name="max_ts"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {"user_id": pc.cast(t["user_id"], pa.int64())}
+        for n in TYPES:
+            out[f"n_{n}"] = pc.cast(t[f"n_{n}"], pa.int64())
+        out["sum_value"] = pc.round(t["sum_value"], 4)
+        # SQL date_diff('second') counts boundary crossings:
+        # floor(b/1e6) - floor(a/1e6), not floor((b-a)/1e6)
+        usec = pa.scalar(1_000_000, pa.int64())
+        out["span_s"] = pc.cast(
+            pc.subtract(pc.divide(t["max_ts"], usec),
+                        pc.divide(t["min_ts"], usec)), pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
