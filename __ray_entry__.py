@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_documents": q.simhash_pairs_documents,
         "jaccard_pairs_documents": q.jaccard_pairs_documents,
         "dedup_clusters_documents": q.dedup_clusters_documents,
+        "cluster_representatives_documents":
+            q.cluster_representatives_documents,
         # similarity search
         "knn_embeddings": q.knn_embeddings,
         "lsh_ann_embeddings": q.lsh_ann_embeddings,
@@ -864,6 +866,51 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
             )
             SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u
+        """,
+        "cluster_representatives_documents": r"""
+            WITH RECURSIVE g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2,
+                        CASE WHEN len(toks) > 0 AND len(toks) < 3
+                             THEN 1 ELSE 0 END)),
+                    i -> CASE WHEN len(toks) >= 3
+                              THEN toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]
+                              ELSE array_to_string(toks, ' ') END)) AS grams
+                FROM (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+')
+                                 AS toks
+                      FROM documents)
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / len(list_distinct(a.grams || b.grams)) >= 0.5
+            ), e AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION ALL SELECT id_b, id_a FROM p
+            ), r(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                UNION
+                SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
+            ), comp AS (
+                SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u
+            ), wl AS (
+                SELECT c.cluster_id, c.doc_id,
+                       length(coalesce(d.text, '')) AS n_chars
+                FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+            ), ranked AS (
+                SELECT cluster_id, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY cluster_id) AS n_docs
+                FROM wl
+            )
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(doc_id AS BIGINT) AS rep_doc_id,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_chars AS BIGINT) AS rep_chars
+            FROM ranked WHERE rn = 1
         """,
         "range_join_events": """
             SELECT p.event_id, count(*) AS n_clicks

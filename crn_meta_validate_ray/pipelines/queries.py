@@ -2437,3 +2437,53 @@ def user_features_events(sf_dir: str):
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cluster_representatives_documents(sf_dir: str):
+    """Near-dup cluster representative selection — the final emit step of
+    a dedup pipeline: within each connected component keep the LONGEST
+    document (tie -> lowest doc_id).  Composition: exact n-gram Jaccard
+    pairs -> distributed connected components -> hash_join to per-doc
+    char lengths -> per-cluster vectorized argmax through the
+    hash-bucket exchange."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+    from crn_meta_validate_ray.stages.dedup import ngram_jaccard_exact_pairs
+    from crn_meta_validate_ray.stages.graph import connected_components
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    comp = connected_components(
+        ngram_jaccard_exact_pairs(ds, threshold=0.5, ngram=3))
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.fill_null(pc.cast(t["text"], pa.string()), "")),
+                pa.int64())})
+
+    joined = hash_join(comp, ds.map_batches(lens, batch_format="pyarrow",
+                                            zero_copy_batch=True),
+                       left_on="doc_id", validate_unique_right=True)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "cluster_id": pd.Series(dtype=np.int64),
+                "rep_doc_id": pd.Series(dtype=np.int64),
+                "n_docs": pd.Series(dtype=np.int64),
+                "rep_chars": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["cluster_id", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        g = df.groupby("cluster_id", sort=False)
+        head = g.head(1)
+        sizes = g.size()
+        return pd.DataFrame({
+            "cluster_id": head["cluster_id"].to_numpy(np.int64),
+            "rep_doc_id": head["doc_id"].to_numpy(np.int64),
+            "n_docs": sizes.loc[head["cluster_id"]].to_numpy(np.int64),
+            "rep_chars": head["n_chars"].to_numpy(np.int64)})
+
+    return grouped_map(joined, ["cluster_id"], pick)
