@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_events": q.running_totals_events,
         "moving_avg_events": q.moving_avg_events,
         "user_features_events": q.user_features_events,
+        "funnel_events": q.funnel_events,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
@@ -1017,6 +1018,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "funnel_events": """
+            WITH s AS (
+                SELECT user_id,
+                       min(ts) FILTER (WHERE event_type = 'signup')
+                           AS ts_s
+                FROM events GROUP BY user_id
+            ), v AS (
+                SELECT e.user_id, min(e.ts) AS ts_v
+                FROM events e JOIN s ON s.user_id = e.user_id
+                WHERE e.event_type = 'view' AND e.ts >= s.ts_s
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS ts_p
+                FROM events e JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= v.ts_v
+                GROUP BY e.user_id
+            )
+            SELECT CAST(s.user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(s.ts_s) AS BIGINT) AS ts_signup,
+                   CAST(epoch_us(v.ts_v) AS BIGINT) AS ts_view,
+                   CAST(epoch_us(p.ts_p) AS BIGINT) AS ts_purchase
+            FROM s LEFT JOIN v ON v.user_id = s.user_id
+                   LEFT JOIN p ON p.user_id = s.user_id
         """,
         "user_features_events": """
             SELECT CAST(user_id AS BIGINT) AS user_id,

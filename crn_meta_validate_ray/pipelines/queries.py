@@ -2487,3 +2487,55 @@ def cluster_representatives_documents(sf_dir: str):
             "rep_chars": head["n_chars"].to_numpy(np.int64)})
 
     return grouped_map(joined, ["cluster_id"], pick)
+
+
+def funnel_events(sf_dir: str):
+    """Ordered conversion funnel per user: first signup, first view AT OR
+    AFTER that signup, first purchase at or after that view — stage
+    timestamps chain on event order, so this is a sequence computation,
+    not a plain aggregate.  One hash-bucket exchange co-locates users;
+    within a bucket each stage is a vectorized groupby-min + merge
+    + filter (no per-user Python loop)."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "ts": pc.cast(t["ts"], pa.int64())})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "ts_signup": pd.Series(dtype="Int64"),
+                "ts_view": pd.Series(dtype="Int64"),
+                "ts_purchase": pd.Series(dtype="Int64")})
+        users = pd.DataFrame({
+            "user_id": df["user_id"].unique()}).set_index("user_id")
+        s = df[df["event_type"] == "signup"].groupby("user_id")["ts"].min()
+        users["ts_signup"] = s
+        v = df[df["event_type"] == "view"] \
+            .merge(s.rename("ts_s"), left_on="user_id", right_index=True)
+        v = v[v["ts"] >= v["ts_s"]].groupby("user_id")["ts"].min()
+        users["ts_view"] = v
+        p = df[df["event_type"] == "purchase"] \
+            .merge(v.rename("ts_v"), left_on="user_id", right_index=True)
+        p = p[p["ts"] >= p["ts_v"]].groupby("user_id")["ts"].min()
+        users["ts_purchase"] = p
+        out = users.reset_index()
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype(np.int64),
+            "ts_signup": out["ts_signup"].astype("Int64"),
+            "ts_view": out["ts_view"].astype("Int64"),
+            "ts_purchase": out["ts_purchase"].astype("Int64")})
+
+    return grouped_map(rows, ["user_id"], fold)
