@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_flatten": q.transcript_flatten,
         "transcript_pairs": q.transcript_pairs,
         "pack_conversations": q.pack_conversations,
+        "dup_turns_transcript": q.dup_turns_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1344,6 +1345,14 @@ def _transcript_oracles() -> dict[str, str]:
         FROM scan
     """
 
+    dup_turns_sql = f"""
+        SELECT coalesce(text, '') AS text, count(*) AS n
+        FROM read_parquet('{turns}')
+        GROUP BY coalesce(text, '')
+        HAVING count(*) > 1
+        ORDER BY n DESC, text LIMIT 50
+    """
+
     role_transitions_sql = f"""
         WITH t AS (
             SELECT conv_id, turn_idx, coalesce(role, 'NA') AS role
@@ -1373,6 +1382,7 @@ def _transcript_oracles() -> dict[str, str]:
         "transcript_flatten": flatten_sql,
         "transcript_pairs": pairs_sql,
         "pack_conversations": pack_conv_sql,
+        "dup_turns_transcript": dup_turns_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

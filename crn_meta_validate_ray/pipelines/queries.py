@@ -2539,3 +2539,38 @@ def funnel_events(sf_dir: str):
             "ts_purchase": out["ts_purchase"].astype("Int64")})
 
     return grouped_map(rows, ["user_id"], fold)
+
+
+def dup_turns_transcript(sf_dir: str):
+    """Boilerplate-response detection over the transcript corpus: turn
+    texts repeated across the corpus (the transcript analogue of
+    frequent-line boilerplate).  Batch-local value-count combiner — only
+    (text, partial_n) rows cross the groupby — then filter n > 1 and
+    take the top 50 by (count desc, text)."""
+    import pandas as pd
+
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"], columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(np.asarray(
+            pc.fill_null(pc.cast(t["text"], pa.string()), "")
+            .to_pandas(), dtype=object))
+        vc = s.value_counts()
+        return pa.table({
+            "text": pa.array(vc.index.to_numpy().astype(str)),
+            "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("text").aggregate(Sum("n", alias_name="n"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"text": pc.cast(t["text"], pa.string()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    out = agg.map_batches(cast, batch_format="pyarrow") \
+        .filter(expr="n > 1") \
+        .sort(key=["n", "text"], descending=[True, False]).limit(50)
+    return collect_with_schema(out, pa.schema([
+        ("text", pa.string()), ("n", pa.int64())]))
