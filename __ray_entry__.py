@@ -178,6 +178,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Shared DuckDB CTE: word-3-gram Jaccard>=0.5 pairs -> symmetric edge set
+# -> recursive min-label closure.  Used by BOTH dedup-cluster oracles so a
+# threshold/tokenizer change cannot make them silently disagree (the engine
+# analogue is stages/dedup.ngram_jaccard_exact_pairs + stages/graph).
+_JACCARD_CLUSTER_CTE = r"""
+            WITH RECURSIVE g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2,
+                        CASE WHEN len(toks) > 0 AND len(toks) < 3
+                             THEN 1 ELSE 0 END)),
+                    i -> CASE WHEN len(toks) >= 3
+                              THEN toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]
+                              ELSE array_to_string(toks, ' ') END)) AS grams
+                FROM (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+')
+                                 AS toks
+                      FROM documents)
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / len(list_distinct(a.grams || b.grams)) >= 0.5
+            ), e AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION ALL SELECT id_b, id_a FROM p
+            ), r(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                UNION
+                SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_alt = "|".join(
         ["the", "and", "of", "a", "to", "in", "is", "that", "it", "for"])
@@ -840,62 +874,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / len(list_distinct(a.grams || b.grams)) >= 0.5
         """,
-        "dedup_clusters_documents": r"""
-            WITH RECURSIVE g AS (
-                SELECT doc_id, list_distinct(list_transform(
-                    generate_series(1, greatest(len(toks) - 2,
-                        CASE WHEN len(toks) > 0 AND len(toks) < 3
-                             THEN 1 ELSE 0 END)),
-                    i -> CASE WHEN len(toks) >= 3
-                              THEN toks[i] || ' ' || toks[i+1] || ' '
-                                   || toks[i+2]
-                              ELSE array_to_string(toks, ' ') END)) AS grams
-                FROM (SELECT doc_id,
-                             regexp_extract_all(coalesce(text, ''), '\S+')
-                                 AS toks
-                      FROM documents)
-            ), p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM g a JOIN g b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-                      / len(list_distinct(a.grams || b.grams)) >= 0.5
-            ), e AS (
-                SELECT id_a AS u, id_b AS v FROM p
-                UNION ALL SELECT id_b, id_a FROM p
-            ), r(u, v) AS (
-                SELECT u, u FROM (SELECT DISTINCT u FROM e)
-                UNION
-                SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
-            )
+        "dedup_clusters_documents": _JACCARD_CLUSTER_CTE + """
             SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u
         """,
-        "cluster_representatives_documents": r"""
-            WITH RECURSIVE g AS (
-                SELECT doc_id, list_distinct(list_transform(
-                    generate_series(1, greatest(len(toks) - 2,
-                        CASE WHEN len(toks) > 0 AND len(toks) < 3
-                             THEN 1 ELSE 0 END)),
-                    i -> CASE WHEN len(toks) >= 3
-                              THEN toks[i] || ' ' || toks[i+1] || ' '
-                                   || toks[i+2]
-                              ELSE array_to_string(toks, ' ') END)) AS grams
-                FROM (SELECT doc_id,
-                             regexp_extract_all(coalesce(text, ''), '\S+')
-                                 AS toks
-                      FROM documents)
-            ), p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM g a JOIN g b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-                      / len(list_distinct(a.grams || b.grams)) >= 0.5
-            ), e AS (
-                SELECT id_a AS u, id_b AS v FROM p
-                UNION ALL SELECT id_b, id_a FROM p
-            ), r(u, v) AS (
-                SELECT u, u FROM (SELECT DISTINCT u FROM e)
-                UNION
-                SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
-            ), comp AS (
+        "cluster_representatives_documents": _JACCARD_CLUSTER_CTE + """
+            , comp AS (
                 SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u
             ), wl AS (
                 SELECT c.cluster_id, c.doc_id,

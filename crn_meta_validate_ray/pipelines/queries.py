@@ -2408,7 +2408,8 @@ def user_features_events(sf_dir: str):
         cols["sum_value"] = np.bincount(
             uinv, weights=df["value"].to_numpy(np.float64),
             minlength=n_u)
-        ts = df["ts"].astype("int64").to_numpy()
+        ts = df["ts"].astype("datetime64[us]").astype(np.int64) \
+            .to_numpy()
         gmin = np.full(n_u, np.iinfo(np.int64).max)
         gmax = np.full(n_u, np.iinfo(np.int64).min)
         np.minimum.at(gmin, uinv, ts)
@@ -2504,6 +2505,12 @@ def funnel_events(sf_dir: str):
                          columns=["user_id", "event_type", "ts"])
 
     def narrow(t: pa.Table) -> pa.Table:
+        # only the funnel stages cross the exchange — click/error rows
+        # (the bulk of the table) are dropped at the scan
+        et = pc.cast(t["event_type"], pa.string())
+        keep = pc.is_in(et, value_set=pa.array(
+            ["signup", "view", "purchase"]))
+        t = t.filter(keep)
         return pa.table({
             "user_id": pc.cast(t["user_id"], pa.int64()),
             "event_type": pc.cast(t["event_type"], pa.string()),
@@ -2553,13 +2560,13 @@ def dup_turns_transcript(sf_dir: str):
     ds = rd.read_parquet(info["turns_dir"], columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        s = pd.Series(np.asarray(
-            pc.fill_null(pc.cast(t["text"], pa.string()), "")
-            .to_pandas(), dtype=object))
-        vc = s.value_counts()
+        s = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        vc = pc.value_counts(s)  # zero-copy Arrow; no object round-trip
         return pa.table({
-            "text": pa.array(vc.index.to_numpy().astype(str)),
-            "n": pa.array(vc.to_numpy().astype(np.int64))})
+            "text": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64())})
 
     agg = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True) \

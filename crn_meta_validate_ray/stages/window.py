@@ -226,11 +226,13 @@ def moving_aggregate(ds: "rd.Dataset", *, key_col: str = "user_id",
         g = df.groupby(key_col, sort=False)
         cs = g[value_col].cumsum().to_numpy(dtype=np.float64)
         pos = g.cumcount().to_numpy(dtype=np.int64)
-        csf = pd.DataFrame({"k": df[key_col].to_numpy(), "cs": cs})
-        lagged = csf.groupby("k", sort=False)["cs"].shift(window) \
-            .fillna(0.0).to_numpy(dtype=np.float64)
+        # keys are contiguous after the sort and pos restarts per key, so
+        # the per-key lag is a plain array shift gated on pos >= window —
+        # no second groupby
+        lag = np.concatenate([np.zeros(min(window, len(cs))),
+                              cs[:-window]]) if len(cs) else cs
         win_n = np.minimum(pos + 1, window)
-        win_sum = cs - lagged
+        win_sum = np.where(pos >= window, cs - lag, cs)
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             key_col: df[key_col].to_numpy(),

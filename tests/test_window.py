@@ -175,6 +175,13 @@ def test_moving_aggregate_matches_pandas_rolling(ray_session):
     want = want.assign(win_sum=roll).sort_values("event_id") \
         .reset_index(drop=True)
     np.testing.assert_allclose(out["win_sum"], want["win_sum"], atol=1e-9)
-    assert (out["win_n"] <= 4).all() and (out["win_n"] >= 1).all()
+    # win_n against an independent rolling count, not its own definition
+    wantn = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    rolln = wantn.groupby("user_id", sort=False)["value"] \
+        .rolling(4, min_periods=1).count().reset_index(level=0, drop=True)
+    wantn = wantn.assign(win_n=rolln).sort_values("event_id") \
+        .reset_index(drop=True)
+    assert (out["win_n"].to_numpy() ==
+            wantn["win_n"].to_numpy(dtype=np.int64)).all()
     np.testing.assert_allclose(out["win_avg"],
                                out["win_sum"] / out["win_n"], atol=1e-12)
