@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg_events": q.moving_avg_events,
         "user_features_events": q.user_features_events,
         "funnel_events": q.funnel_events,
+        "weighted_sample_documents": q.weighted_sample_documents,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
@@ -1002,6 +1003,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "weighted_sample_documents": """
+            SELECT doc_id, n_chars, skey FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST(length(coalesce(text, '')) AS BIGINT)
+                           AS n_chars,
+                       round(pow(
+                           (CAST(concat('0x', substr(
+                                md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) + 1) / 4294967296.0,
+                           1.0 / (length(coalesce(text, '')) + 1)), 6)
+                           AS skey
+                FROM documents)
+            ORDER BY skey DESC, doc_id DESC LIMIT 100
         """,
         "funnel_events": """
             WITH s AS (

@@ -2581,3 +2581,39 @@ def dup_turns_transcript(sf_dir: str):
         .sort(key=["n", "text"], descending=[True, False]).limit(50)
     return collect_with_schema(out, pa.schema([
         ("text", pa.string()), ("n", pa.int64())]))
+
+
+def weighted_sample_documents(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis exponential-sort): key = u^(1/w) with
+    u = md5-derived uniform and w = char length + 1; global top-100 by
+    key.  Longer documents are proportionally likelier, yet the draw is
+    reproducible across runs and cluster sizes (and SQL-replicable) —
+    the standard way to weight-sample a corpus with no RNG state.  The
+    md5 path is the SQL-parity variant; swap fingerprint64 for the
+    numpy-vectorized scale path."""
+    import hashlib
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        n_chars = pc.cast(pc.utf8_length(
+            pc.fill_null(pc.cast(t["text"], pa.string()), "")), pa.int64())
+        u = np.array([(int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                           16) + 1) / 4294967296.0
+                      for i in ids.to_pylist()])
+        w = np.asarray(n_chars, dtype=np.float64) + 1.0
+        key = u ** (1.0 / w)
+        return pa.table({
+            "doc_id": ids,
+            "n_chars": n_chars,
+            "skey": pc.round(pa.array(key, type=pa.float64()), 6)})
+
+    out = ds.map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .sort(key=["skey", "doc_id"], descending=[True, True]).limit(100)
+    return collect_with_schema(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()),
+        ("skey", pa.float64())]))
