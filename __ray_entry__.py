@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_features_events": q.user_features_events,
         "funnel_events": q.funnel_events,
         "weighted_sample_documents": q.weighted_sample_documents,
+        "entropy_documents": q.entropy_documents,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
@@ -1003,6 +1004,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "entropy_documents": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   round(entropy(c), 5) AS ent
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(coalesce(text, ''),
+                                                   '')) AS c
+                  FROM documents)
+            GROUP BY doc_id
         """,
         "weighted_sample_documents": """
             SELECT doc_id, n_chars, skey FROM (

@@ -283,3 +283,35 @@ def batch_word_gram_hashes(texts: list, n: int = 3
             ([True], (gp[1:] != gp[:-1]) | (g[1:] != g[:-1])))
         g, gp = g[first], gp[first]
     return g, np.bincount(gp, minlength=nd).astype(np.int64)
+
+
+def char_entropy(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-document Shannon entropy (bits) of the codepoint distribution —
+    the gibberish / binary-noise quality signal.  Fully vectorized: one
+    join + utf-32 decode yields a flat uint32 codepoint array aligned
+    with ``utf8_length`` offsets (utf-32 is one unit per codepoint, the
+    same unit SQL's char split uses); a single lexsort over
+    (doc, codepoint) gives run lengths, and one scatter-add folds
+    -(c/n)·log2(c/n) per document.  Empty/null docs score 0.0."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.fill_null(pc.cast(col, pa.string()), "")
+    n_docs = len(s)
+    lens = np.asarray(pc.utf8_length(s), dtype=np.int64)
+    buf = "".join(s.to_pylist())
+    cp = np.frombuffer(buf.encode("utf-32-le"), dtype=np.uint32)
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    if not len(cp):
+        return np.zeros(n_docs, dtype=np.float64)
+    order = np.lexsort((cp, doc))
+    d_s, c_s = doc[order], cp[order]
+    # run starts where (doc, codepoint) changes
+    new = np.concatenate(([True], (d_s[1:] != d_s[:-1])
+                          | (c_s[1:] != c_s[:-1])))
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate((starts, [len(c_s)])))
+    run_doc = d_s[starts]
+    p = counts / lens[run_doc]
+    ent = np.zeros(n_docs, dtype=np.float64)
+    np.add.at(ent, run_doc, -p * np.log2(p))
+    return ent

@@ -2617,3 +2617,21 @@ def weighted_sample_documents(sf_dir: str):
     return collect_with_schema(out, pa.schema([
         ("doc_id", pa.int64()), ("n_chars", pa.int64()),
         ("skey", pa.float64())]))
+
+
+def entropy_documents(sf_dir: str):
+    """Per-document codepoint entropy (functions/text.char_entropy):
+    map-only quality signal for gibberish / binary-noise detection."""
+    from crn_meta_validate_ray.functions.text import char_entropy
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "ent": pc.round(pa.array(char_entropy(t["text"]),
+                                     type=pa.float64()), 5)})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -198,3 +198,17 @@ def test_mixture_sample_matches_direct_recompute(ray_session):
         if pct < rate:
             want.add(did)
     assert got == want and len(want) > 0
+
+
+def test_char_entropy_values():
+    import numpy as np
+    import pyarrow as pa
+
+    from crn_meta_validate_ray.functions.text import char_entropy
+
+    out = char_entropy(pa.array(["aabb", "aaaa", "", None, "abcd", "ää𝄞x"]))
+    np.testing.assert_allclose(out[0], 1.0)          # two symbols 50/50
+    assert out[1] == 0.0 and out[2] == 0.0 and out[3] == 0.0
+    np.testing.assert_allclose(out[4], 2.0)          # four distinct of 4
+    # multibyte + astral plane: 3 distinct codepoints of 4 -> 1.5 bits
+    np.testing.assert_allclose(out[5], 1.5)
