@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q.funnel_events,
         "weighted_sample_documents": q.weighted_sample_documents,
         "entropy_documents": q.entropy_documents,
+        "upsert_orders": q.upsert_orders,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
@@ -1004,6 +1005,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "upsert_orders": """
+            WITH merged AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                       0 AS version
+                FROM orders
+                UNION ALL
+                SELECT CAST(o_orderkey AS BIGINT),
+                       round(CAST(o_totalprice AS DOUBLE) * 1.1, 2), 1
+                FROM orders WHERE o_orderkey % 10 < 3
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                              ORDER BY version DESC) AS rn
+                FROM merged
+            )
+            SELECT o_orderkey, o_totalprice,
+                   CAST(version AS BIGINT) AS version
+            FROM ranked WHERE rn = 1
         """,
         "entropy_documents": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

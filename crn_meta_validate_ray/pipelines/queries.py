@@ -2635,3 +2635,60 @@ def entropy_documents(sf_dir: str):
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def upsert_orders(sf_dir: str):
+    """Last-write-wins upsert merge (the CDC / lakehouse MERGE shape):
+    a change batch (30% of orders with re-priced totals, version 1)
+    merges into the snapshot (version 0); per key the highest version
+    wins.  Union -> one hash-bucket exchange on the key -> vectorized
+    per-bucket argmax by (version desc) — the same partitioning as exact
+    dedup keep-first, with versions instead of first-occurrence."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    ds = rd.read_parquet(_p(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def snap(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+            "version": pa.array(np.zeros(t.num_rows, dtype=np.int64))})
+
+    def changes(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["o_orderkey"], pa.int64())
+        m = np.asarray(keys) % 10 < 3
+        sub = t.filter(pa.array(m))
+        sk = pc.cast(sub["o_orderkey"], pa.int64())
+        return pa.table({
+            "o_orderkey": sk,
+            # SQL round() is half-away-from-zero; Arrow defaults to
+            # half-to-even and re-priced values DO land on .xx5 ties
+            "o_totalprice": pc.round(pc.multiply(
+                pc.cast(sub["o_totalprice"], pa.float64()),
+                pa.scalar(1.1, pa.float64())), 2,
+                round_mode="half_towards_infinity"),
+            "version": pa.array(np.ones(sub.num_rows, dtype=np.int64))})
+
+    both = ds.map_batches(snap, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .union(ds.map_batches(changes, batch_format="pyarrow",
+                              zero_copy_batch=True))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "o_orderkey": pd.Series(dtype=np.int64),
+                "o_totalprice": pd.Series(dtype=np.float64),
+                "version": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["o_orderkey", "version"],
+                            ascending=[True, False], kind="stable")
+        head = df.groupby("o_orderkey", sort=False).head(1)
+        return pd.DataFrame({
+            "o_orderkey": head["o_orderkey"].to_numpy(np.int64),
+            "o_totalprice": head["o_totalprice"].to_numpy(np.float64),
+            "version": head["version"].to_numpy(np.int64)})
+
+    return grouped_map(both, ["o_orderkey"], pick)
