@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": q.weighted_sample_documents,
         "entropy_documents": q.entropy_documents,
         "upsert_orders": q.upsert_orders,
+        "table_diff_orders": q.table_diff_orders,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
@@ -1005,6 +1006,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "table_diff_orders": """
+            WITH a AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                       CAST(o_totalprice AS DOUBLE) AS price_a
+                FROM orders
+            ), b AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                       CASE WHEN o_orderkey % 10 < 3
+                            THEN round(CAST(o_totalprice AS DOUBLE)
+                                       * 1.1, 2)
+                            ELSE CAST(o_totalprice AS DOUBLE) END
+                           AS price_b
+                FROM orders WHERE o_orderkey % 10 <> 9
+                UNION ALL
+                SELECT CAST(o_orderkey + 1000000 AS BIGINT), 1.0
+                FROM orders WHERE o_orderkey % 10 = 4
+            )
+            SELECT coalesce(a.k, b.k) AS o_orderkey,
+                   CASE WHEN a.k IS NULL THEN 'added'
+                        WHEN b.k IS NULL THEN 'removed'
+                        WHEN a.price_a = b.price_b THEN 'same'
+                        ELSE 'updated' END AS status
+            FROM a FULL OUTER JOIN b ON a.k = b.k
         """,
         "upsert_orders": """
             WITH merged AS (

@@ -2692,3 +2692,60 @@ def upsert_orders(sf_dir: str):
             "version": head["version"].to_numpy(np.int64)})
 
     return grouped_map(both, ["o_orderkey"], pick)
+
+
+def table_diff_orders(sf_dir: str):
+    """Snapshot diff (data-reconciliation / anti-entropy): FULL OUTER
+    join of a table against its CDC-modified successor, classifying
+    every key as same / updated / added / removed.  The successor is
+    derived in-query: 30% re-priced, keys ending in 9 deleted, and a
+    shifted-key block inserted.  Exercises the shuffle hash join's
+    full-outer mode end-to-end under the oracle gate."""
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+    ds = rd.read_parquet(_p(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def snap(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "price_a": pc.cast(t["o_totalprice"], pa.float64())})
+
+    def succ(t: pa.Table) -> pa.Table:
+        keys = np.asarray(pc.cast(t["o_orderkey"], pa.int64()))
+        price = pc.cast(t["o_totalprice"], pa.float64())
+        keep = keys % 10 != 9          # deletions
+        k = keys[keep]
+        p = pc.filter(price, pa.array(keep))
+        # identical rounding expression to upsert_orders (SQL parity)
+        rp = pc.round(pc.multiply(p, pa.scalar(1.1, pa.float64())), 2,
+                      round_mode="half_towards_infinity")
+        p = pc.if_else(pa.array(k % 10 < 3), rp, p)
+        ins = keys[keys % 10 == 4] + 1_000_000   # insertions
+        return pa.table({
+            "o_orderkey": pa.array(np.concatenate([k, ins])),
+            "price_b": pa.concat_arrays([
+                p.combine_chunks() if isinstance(p, pa.ChunkedArray)
+                else p,
+                pa.array(np.full(len(ins), 1.0))])})
+
+    a = ds.map_batches(snap, batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(succ, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(a, b, left_on="o_orderkey", how="outer")
+
+    def classify(t: pa.Table) -> pa.Table:
+        pa_ = t["price_a"]
+        pb = t["price_b"]
+        a_null = pc.is_null(pa_)
+        b_null = pc.is_null(pb)
+        status = pc.if_else(
+            a_null, pa.scalar("added", pa.string()),
+            pc.if_else(b_null, pa.scalar("removed", pa.string()),
+                       pc.if_else(pc.equal(pa_, pb),
+                                  pa.scalar("same", pa.string()),
+                                  pa.scalar("updated", pa.string()))))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"],
+                                               pa.int64()),
+                         "status": status})
+
+    return joined.map_batches(classify, batch_format="pyarrow")
