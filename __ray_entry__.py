@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_pairs": q.transcript_pairs,
         "pack_conversations": q.pack_conversations,
         "dup_turns_transcript": q.dup_turns_transcript,
+        "role_perplexity_transcript": q.role_perplexity_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1398,6 +1399,34 @@ def _transcript_oracles() -> dict[str, str]:
         FROM scan
     """
 
+    role_ppl_sql = f"""
+        WITH t AS (
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   coalesce(role, 'NA') AS role
+            FROM read_parquet('{turns}')
+            WHERE conv_id IS NOT NULL
+        ), lagd AS (
+            SELECT conv_id, role,
+                   lag(role) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx, role) AS prev
+            FROM t
+        ), pairs AS (
+            SELECT conv_id, prev AS role_a, role AS role_b
+            FROM lagd WHERE prev IS NOT NULL
+        ), m AS (
+            SELECT role_a, role_b, count(*) AS n
+            FROM pairs GROUP BY role_a, role_b
+        ), tot AS (
+            SELECT role_a, sum(n) AS tn FROM m GROUP BY role_a
+        )
+        SELECT p.conv_id, count(*) AS n_trans,
+               round(avg(-log2(m.n / tot.tn)), 5) AS avg_nll
+        FROM pairs p
+        JOIN m ON m.role_a = p.role_a AND m.role_b = p.role_b
+        JOIN tot ON tot.role_a = p.role_a
+        GROUP BY p.conv_id
+    """
+
     dup_turns_sql = f"""
         SELECT coalesce(text, '') AS text, count(*) AS n
         FROM read_parquet('{turns}')
@@ -1436,6 +1465,7 @@ def _transcript_oracles() -> dict[str, str]:
         "transcript_pairs": pairs_sql,
         "pack_conversations": pack_conv_sql,
         "dup_turns_transcript": dup_turns_sql,
+        "role_perplexity_transcript": role_ppl_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -2749,3 +2749,74 @@ def table_diff_orders(sf_dir: str):
                          "status": status})
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def role_perplexity_transcript(sf_dir: str):
+    """Sequence-anomaly scoring: per-conversation average negative
+    log2-likelihood of its role transitions under the corpus-wide
+    first-order (Markov) transition model — flags conversations whose
+    role flow is atypical.  Two-phase: the global |roles|^2 transition
+    matrix folds from per-bucket partials (tiny), broadcasts in the task
+    closure, then one co-located pass scores every conversation
+    vectorized (codes + np lookup, no per-row loop)."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "turn_idx", "role"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "role": pc.fill_null(pc.cast(t["role"], pa.string()), "NA")})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "role"],
+                            kind="stable")
+        prev = df.groupby("conv_id", sort=False)["role"].shift(1)
+        keep = prev.notna()
+        g = pd.DataFrame({"role_a": prev[keep], "role_b": df["role"][keep]}) \
+            .groupby(["role_a", "role_b"], sort=False) \
+            .size().reset_index(name="n")
+        return pd.DataFrame({"role_a": g["role_a"].astype(str),
+                             "role_b": g["role_b"].astype(str),
+                             "n": g["n"].astype(np.int64)})
+
+    mat = grouped_map(rows, ["conv_id"], pair_counts) \
+        .groupby(["role_a", "role_b"]).aggregate(Sum("n", alias_name="n")) \
+        .take_all()
+    # |roles|^2 rows — broadcast via closure
+    pair_n = {(r["role_a"], r["role_b"]): r["n"] for r in mat}
+    tot_n: dict = {}
+    for (a, _b), n in pair_n.items():
+        tot_n[a] = tot_n.get(a, 0) + n
+    nll = {k: -np.log2(n / tot_n[k[0]]) for k, n in pair_n.items()}
+
+    nll_df = pd.DataFrame(
+        [(a, b, v) for (a, b), v in sorted(nll.items())],
+        columns=["role_a", "role_b", "v"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "role"],
+                            kind="stable")
+        prev = df.groupby("conv_id", sort=False)["role"].shift(1)
+        keep = prev.notna()
+        sub = pd.DataFrame({"conv_id": df["conv_id"][keep],
+                            "role_a": prev[keep],
+                            "role_b": df["role"][keep]}) \
+            .merge(nll_df, on=["role_a", "role_b"], how="left")
+        g = sub.groupby("conv_id", sort=False)["v"] \
+            .agg(["size", "mean"]).reset_index()
+        return pd.DataFrame({
+            "conv_id": g["conv_id"].astype(str),
+            "n_trans": g["size"].astype(np.int64),
+            "avg_nll": g["mean"].round(5).astype(np.float64)})
+
+    return grouped_map(rows, ["conv_id"], score)
