@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_documents": q.entropy_documents,
         "upsert_orders": q.upsert_orders,
         "table_diff_orders": q.table_diff_orders,
+        "range_partition_orders": q.range_partition_orders,
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
@@ -1007,6 +1008,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "range_partition_orders": """
+            WITH bl AS (
+                SELECT quantile_disc(o_orderkey,
+                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS b
+                FROM orders
+            )
+            SELECT CAST(len(list_filter(bl.b, x -> x <= o_orderkey))
+                        AS BIGINT) AS part,
+                   count(*) AS n,
+                   CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_key
+            FROM orders, bl GROUP BY 1
         """,
         "table_diff_orders": """
             WITH a AS (

@@ -2820,3 +2820,39 @@ def role_perplexity_transcript(sf_dir: str):
             "avg_nll": g["mean"].round(5).astype(np.float64)})
 
     return grouped_map(rows, ["conv_id"], score)
+
+
+def range_partition_orders(sf_dir: str):
+    """Balanced range-partitioner design — the primitive behind
+    distributed sort / range-partitioned writes: exact k-quantiles of
+    the sort key become partition boundaries (value-counts reduction,
+    stages/quantile.py), broadcast to a map-only searchsorted
+    assignment; output is the per-partition census proving balance."""
+    from crn_meta_validate_ray.stages.quantile import exact_quantiles
+
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey"])
+    qs = [i / 8 for i in range(1, 8)]
+    bt = exact_quantiles(ds, "o_orderkey", qs)  # pa.Table (q, value)
+    bounds = np.sort(np.asarray(bt["value"], dtype=np.int64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = np.asarray(pc.cast(t["o_orderkey"], pa.int64()))
+        return pa.table({
+            "part": pa.array(np.searchsorted(bounds, k, side="right")
+                             .astype(np.int64)),
+            "o_orderkey": pa.array(k)})
+
+    out = ds.map_batches(assign, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("part").aggregate(
+            Count(alias_name="n"),
+            Min("o_orderkey", alias_name="min_key"),
+            Max("o_orderkey", alias_name="max_key"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"part": pc.cast(t["part"], pa.int64()),
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "min_key": pc.cast(t["min_key"], pa.int64()),
+                         "max_key": pc.cast(t["max_key"], pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
