@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_conversations": q.pack_conversations,
         "dup_turns_transcript": q.dup_turns_transcript,
         "role_perplexity_transcript": q.role_perplexity_transcript,
+        "response_latency_transcript": q.response_latency_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1441,6 +1442,28 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY p.conv_id
     """
 
+    latency_sql = f"""
+        WITH t AS (
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   coalesce(role, 'NA') AS role, ts
+            FROM read_parquet('{turns}')
+            WHERE conv_id IS NOT NULL
+        ), lagd AS (
+            SELECT conv_id, role, ts,
+                   lag(role) OVER w AS prev_role,
+                   lag(ts) OVER w AS prev_ts
+            FROM t WINDOW w AS (PARTITION BY conv_id
+                                ORDER BY turn_idx, role)
+        )
+        SELECT conv_id, count(*) AS n_responses,
+               round(avg(CAST(date_diff('second', prev_ts, ts)
+                              AS DOUBLE)), 5) AS avg_latency_s
+        FROM lagd
+        WHERE prev_role = 'user' AND role = 'assistant'
+          AND ts IS NOT NULL AND prev_ts IS NOT NULL
+        GROUP BY conv_id
+    """
+
     dup_turns_sql = f"""
         SELECT coalesce(text, '') AS text, count(*) AS n
         FROM read_parquet('{turns}')
@@ -1480,6 +1503,7 @@ def _transcript_oracles() -> dict[str, str]:
         "pack_conversations": pack_conv_sql,
         "dup_turns_transcript": dup_turns_sql,
         "role_perplexity_transcript": role_ppl_sql,
+        "response_latency_transcript": latency_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

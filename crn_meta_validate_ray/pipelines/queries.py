@@ -2856,3 +2856,52 @@ def range_partition_orders(sf_dir: str):
                          "max_key": pc.cast(t["max_key"], pa.int64())})
 
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def response_latency_transcript(sf_dir: str):
+    """Assistant response-latency analysis: per conversation, the count
+    and mean of (assistant turn ts - immediately-preceding user turn ts)
+    — the conversational QoS rollup.  Same one-exchange co-located lag
+    machinery as pair extraction, carrying the ts column instead of
+    text; the latency unit is whole seconds (epoch-second difference),
+    matching SQL date_diff semantics exactly."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "role": pc.fill_null(pc.cast(t["role"], pa.string()), "NA"),
+            "ts": pc.cast(t["ts"], pa.int64())})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "role"],
+                            kind="stable")
+        g = df.groupby("conv_id", sort=False)
+        prev_role = g["role"].shift(1)
+        prev_ts = g["ts"].shift(1)
+        keep = ((prev_role == "user") & (df["role"] == "assistant")
+                & df["ts"].notna() & prev_ts.notna())
+        # whole-second boundary difference (SQL date_diff('second'))
+        lat = (df["ts"][keep] // 1_000_000
+               - prev_ts[keep].astype(np.int64) // 1_000_000)
+        sub = pd.DataFrame({"conv_id": df["conv_id"][keep],
+                            "lat": lat.astype(np.float64)})
+        g2 = sub.groupby("conv_id", sort=False)["lat"] \
+            .agg(["size", "mean"]).reset_index()
+        return pd.DataFrame({
+            "conv_id": g2["conv_id"].astype(str),
+            "n_responses": g2["size"].astype(np.int64),
+            "avg_latency_s": g2["mean"].round(5).astype(np.float64)})
+
+    return grouped_map(rows, ["conv_id"], fold)
