@@ -2261,6 +2261,20 @@ def rank_normalize_events(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _lag_turns(df, carry=()):
+    """Shared ordered-lag primitive for per-conversation sequence ops:
+    stable-sort by (conv_id, turn_idx, role) — the exact ordering every
+    transcript oracle window uses — and return (sorted df, prev_role,
+    {col: prev_col for carry}).  Keeping the tie-ordering in ONE place
+    keeps engine/SQL lag() parity maintainable."""
+    df = df.sort_values(["conv_id", "turn_idx", "role"], kind="stable",
+                        na_position="last")
+    g = df.groupby("conv_id", sort=False)
+    prev_role = g["role"].shift(1)
+    shifted = {c: g[c].shift(1) for c in carry}
+    return df, prev_role, shifted
+
+
 def extract_pairs(ds: "rd.Dataset") -> "rd.Dataset":
     """(user prompt -> assistant response) pair extraction — the
     canonical SFT-training-pair op over transcripts.  Same co-located
@@ -2672,10 +2686,12 @@ def upsert_orders(sf_dir: str):
                 round_mode="half_towards_infinity"),
             "version": pa.array(np.ones(sub.num_rows, dtype=np.int64))})
 
-    both = ds.map_batches(snap, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .union(ds.map_batches(changes, batch_format="pyarrow",
-                              zero_copy_batch=True))
+    def snap_and_changes(t: pa.Table) -> pa.Table:
+        # both derivations from ONE scan of the batch — no second read
+        return pa.concat_tables([snap(t), changes(t)])
+
+    both = ds.map_batches(snap_and_changes, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -2729,6 +2745,9 @@ def table_diff_orders(sf_dir: str):
                 else p,
                 pa.array(np.full(len(ins), 1.0))])})
 
+    # the join consumes two derivations of the same table: materialize
+    # the (narrow) scan once so both sides read cached blocks
+    ds = ds.materialize()
     a = ds.map_batches(snap, batch_format="pyarrow", zero_copy_batch=True)
     b = ds.map_batches(succ, batch_format="pyarrow", zero_copy_batch=True)
     joined = hash_join(a, b, left_on="o_orderkey", how="outer")
@@ -2774,13 +2793,17 @@ def role_perplexity_transcript(sf_dir: str):
             "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
             "role": pc.fill_null(pc.cast(t["role"], pa.string()), "NA")})
 
+    # two grouped_map passes read this lineage — materialize once so the
+    # parquet scan + narrow map run a single time (cf. rank_normalize)
     rows = ds.map_batches(narrow, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True).materialize()
 
     def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["conv_id", "turn_idx", "role"],
-                            kind="stable")
-        prev = df.groupby("conv_id", sort=False)["role"].shift(1)
+        if not len(df):
+            return pd.DataFrame({"role_a": pd.Series(dtype=str),
+                                 "role_b": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64)})
+        df, prev, _ = _lag_turns(df)
         keep = prev.notna()
         g = pd.DataFrame({"role_a": prev[keep], "role_b": df["role"][keep]}) \
             .groupby(["role_a", "role_b"], sort=False) \
@@ -2804,9 +2827,11 @@ def role_perplexity_transcript(sf_dir: str):
         columns=["role_a", "role_b", "v"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["conv_id", "turn_idx", "role"],
-                            kind="stable")
-        prev = df.groupby("conv_id", sort=False)["role"].shift(1)
+        if not len(df):
+            return pd.DataFrame({"conv_id": pd.Series(dtype=str),
+                                 "n_trans": pd.Series(dtype=np.int64),
+                                 "avg_nll": pd.Series(dtype=np.float64)})
+        df, prev, _ = _lag_turns(df)
         keep = prev.notna()
         sub = pd.DataFrame({"conv_id": df["conv_id"][keep],
                             "role_a": prev[keep],
@@ -2885,11 +2910,13 @@ def response_latency_transcript(sf_dir: str):
                           zero_copy_batch=True)
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["conv_id", "turn_idx", "role"],
-                            kind="stable")
-        g = df.groupby("conv_id", sort=False)
-        prev_role = g["role"].shift(1)
-        prev_ts = g["ts"].shift(1)
+        if not len(df):
+            return pd.DataFrame({
+                "conv_id": pd.Series(dtype=str),
+                "n_responses": pd.Series(dtype=np.int64),
+                "avg_latency_s": pd.Series(dtype=np.float64)})
+        df, prev_role, shifted = _lag_turns(df, carry=("ts",))
+        prev_ts = shifted["ts"]
         keep = ((prev_role == "user") & (df["role"] == "assistant")
                 & df["ts"].notna() & prev_ts.notna())
         # whole-second boundary difference (SQL date_diff('second'))
