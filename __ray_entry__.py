@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_turns_transcript": q.dup_turns_transcript,
         "role_perplexity_transcript": q.role_perplexity_transcript,
         "response_latency_transcript": q.response_latency_transcript,
+        "tool_usage_transcript": q.tool_usage_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1442,6 +1443,16 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY p.conv_id
     """
 
+    tool_usage_sql = f"""
+        SELECT tool, count(*) AS n_calls,
+               count(DISTINCT conv_id) AS n_convs,
+               round(CAST(sum(length(coalesce(text, ''))) AS DOUBLE)
+                     / count(*), 5) AS avg_chars
+        FROM read_parquet('{turns}')
+        WHERE tool IS NOT NULL
+        GROUP BY tool
+    """
+
     latency_sql = f"""
         WITH t AS (
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
@@ -1504,6 +1515,7 @@ def _transcript_oracles() -> dict[str, str]:
         "dup_turns_transcript": dup_turns_sql,
         "role_perplexity_transcript": role_ppl_sql,
         "response_latency_transcript": latency_sql,
+        "tool_usage_transcript": tool_usage_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -2932,3 +2932,72 @@ def response_latency_transcript(sf_dir: str):
             "avg_latency_s": g2["mean"].round(5).astype(np.float64)})
 
     return grouped_map(rows, ["conv_id"], fold)
+
+
+def tool_usage_transcript(sf_dir: str):
+    """Tool-usage rollup over the transcript corpus: per tool, the call
+    count, conversations reached and mean payload length — the
+    agent-telemetry aggregate over the input schema's `tool` column.
+    Batch-local partials (per-batch groupby on (tool, conv) distinct for
+    reach), tiny (tool, partial) exchange."""
+    import pandas as pd
+
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "tool", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tool"]))
+        df = pd.DataFrame({
+            "tool": np.asarray(t["tool"].to_pandas(), dtype=object),
+            "conv_id": np.asarray(t["conv_id"].to_pandas(), dtype=object),
+            "n_chars": np.asarray(pc.utf8_length(pc.fill_null(
+                pc.cast(t["text"], pa.string()), "")), dtype=np.int64)})
+        g = df.groupby("tool", sort=False)
+        out = g.agg(n_calls=("conv_id", "size"),
+                    sum_chars=("n_chars", "sum")).reset_index()
+        # conv reach must dedupe batch-locally too: ship distinct pairs'
+        # counts, finished by the conv-distinct pass below
+        return pa.Table.from_pydict({
+            "tool": out["tool"].astype(str).to_numpy(),
+            "n_calls": out["n_calls"].to_numpy(np.int64),
+            "sum_chars": out["sum_chars"].to_numpy(np.int64)})
+
+    stats = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("tool").aggregate(Sum("n_calls", alias_name="n_calls"),
+                                   Sum("sum_chars", alias_name="sum_chars"))
+
+    def reach_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tool"]))
+        df = pd.DataFrame({
+            "tool": np.asarray(t["tool"].to_pandas(), dtype=object),
+            "conv_id": np.asarray(t["conv_id"].to_pandas(),
+                                  dtype=object)}).drop_duplicates()
+        return pa.Table.from_pydict({
+            "tool": df["tool"].astype(str).to_numpy(),
+            "conv_id": df["conv_id"].astype(str).to_numpy()})
+
+    reach = ds.map_batches(reach_partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["tool", "conv_id"]).aggregate(Count(alias_name="_c")) \
+        .groupby("tool").aggregate(Count(alias_name="n_convs"))
+
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+    joined = hash_join(stats, reach.map_batches(
+        lambda t: pa.table({"tool": pc.cast(t["tool"], pa.string()),
+                            "n_convs": pc.cast(t["n_convs"], pa.int64())}),
+        batch_format="pyarrow"), left_on="tool",
+        validate_unique_right=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        calls = np.asarray(t["n_calls"], dtype=np.float64)
+        chars = np.asarray(t["sum_chars"], dtype=np.float64)
+        return pa.table({
+            "tool": pc.cast(t["tool"], pa.string()),
+            "n_calls": pc.cast(t["n_calls"], pa.int64()),
+            "n_convs": pc.cast(t["n_convs"], pa.int64()),
+            "avg_chars": pc.round(pa.array(chars / calls,
+                                           type=pa.float64()), 5)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
