@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_perplexity_transcript": q.role_perplexity_transcript,
         "response_latency_transcript": q.response_latency_transcript,
         "tool_usage_transcript": q.tool_usage_transcript,
+        "role_length_quantiles_transcript":
+            q.role_length_quantiles_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1443,6 +1445,17 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY p.conv_id
     """
 
+    role_len_sql = f"""
+        SELECT coalesce(role, 'NA') AS role,
+               CAST(quantile_disc(length(coalesce(text, '')), 0.5)
+                    AS BIGINT) AS p50,
+               CAST(quantile_disc(length(coalesce(text, '')), 0.9)
+                    AS BIGINT) AS p90,
+               count(*) AS n
+        FROM read_parquet('{turns}')
+        GROUP BY coalesce(role, 'NA')
+    """
+
     tool_usage_sql = f"""
         SELECT tool, count(*) AS n_calls,
                count(DISTINCT conv_id) AS n_convs,
@@ -1516,6 +1529,7 @@ def _transcript_oracles() -> dict[str, str]:
         "role_perplexity_transcript": role_ppl_sql,
         "response_latency_transcript": latency_sql,
         "tool_usage_transcript": tool_usage_sql,
+        "role_length_quantiles_transcript": role_len_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -3001,3 +3001,50 @@ def tool_usage_transcript(sf_dir: str):
                                            type=pa.float64()), 5)})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def role_length_quantiles_transcript(sf_dir: str):
+    """Per-role text-length distribution over the transcript corpus:
+    exact discrete p50/p90 + count of turn lengths for each role — the
+    length-profile diagnostic behind truncation / packing decisions.
+    Only narrow (role, n_chars) pairs cross the hash-bucket exchange;
+    quantiles are exact (quantile_disc rank semantics)."""
+    import math
+
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"], columns=["role", "text"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "role": pc.fill_null(pc.cast(t["role"], pa.string()), "NA"),
+            "n_chars": pc.cast(pc.utf8_length(pc.fill_null(
+                pc.cast(t["text"], pa.string()), "")), pa.int64())})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows_ = []
+        for role, sub in g.groupby("role", sort=False):
+            v = np.sort(sub["n_chars"].to_numpy())
+            n = len(v)
+            rows_.append({
+                "role": str(role),
+                "p50": np.int64(v[max(math.ceil(0.5 * n), 1) - 1]),
+                "p90": np.int64(v[max(math.ceil(0.9 * n), 1) - 1]),
+                "n": np.int64(n)})
+        return pd.DataFrame(rows_, columns=["role", "p50", "p90", "n"])
+
+    out = grouped_map(rows, ["role"], bucket)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"role": pc.cast(t["role"], pa.string()),
+                         "p50": pc.cast(t["p50"], pa.int64()),
+                         "p90": pc.cast(t["p90"], pa.int64()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
