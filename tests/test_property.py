@@ -90,3 +90,30 @@ def test_chunk_table_matches_substr(texts, size, stride):
     """).fetchall()
     pairs = sorted(zip(got["doc_id"], got["chunk_idx"], got["chunk"]))
     assert pairs == [(r[0], r[1], r[2]) for r in want]
+
+
+# --- codepoint entropy vs a per-doc Counter reference ---
+
+@settings(max_examples=200, deadline=None)
+@given(texts=st.lists(st.one_of(st.text(max_size=30),
+                                st.text(alphabet="aä𝄞\n ", max_size=30),
+                                st.none()),
+                      min_size=1, max_size=6))
+def test_char_entropy_matches_counter(texts):
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from crn_meta_validate_ray.functions.text import char_entropy
+
+    got = char_entropy(pa.array(texts, type=pa.string()))
+    for i, t in enumerate(texts):
+        t = t or ""
+        if not t:
+            assert got[i] == 0.0
+            continue
+        c = Counter(t)
+        want = -sum((n / len(t)) * math.log2(n / len(t))
+                    for n in c.values())
+        np.testing.assert_allclose(got[i], want, atol=1e-12)
