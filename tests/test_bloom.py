@@ -51,3 +51,29 @@ def test_empty_new_batch(ray_session):
     out = incremental_dedup(_ds([]), _ds(["a", "b"]), key_col="text",
                             n_bits=1 << 10)
     assert out.count() == 0
+
+
+def test_bitmap_math_no_false_negative_pure():
+    # pure-kernel property: inserting any value set then probing the
+    # same values always hits all k bits (no Ray involved)
+    import numpy as np
+
+    from crn_meta_validate_ray.stages.bloom import (_bit_indices,
+                                                    _hash_pair)
+
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        vals = np.array([f"v{trial}-{i}" for i in
+                         range(rng.integers(1, 200))], dtype=object)
+        n_bits, k = 1 << int(rng.integers(6, 14)), int(rng.integers(1, 9))
+        h1, h2 = _hash_pair(vals)
+        assert (h2 % 2 == 1).all()  # odd h2 -> full-period double hashing
+        idx = _bit_indices(h1, h2, n_bits, k)
+        assert idx.min() >= 0 and idx.max() < n_bits
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        np.bitwise_or.at(bm, idx >> 3, np.uint8(1) << (idx & 7))
+        hit = (bm[idx >> 3] >> (idx & 7)) & 1
+        assert hit.all()
+        # determinism: same values -> same indices
+        i2 = _bit_indices(*_hash_pair(vals), n_bits, k)
+        assert (idx == i2).all()
