@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage_transcript": q.tool_usage_transcript,
         "role_length_quantiles_transcript":
             q.role_length_quantiles_transcript,
+        "corpus_prep_transcript": q.corpus_prep_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1445,6 +1446,50 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY p.conv_id
     """
 
+    prep_sql = f"""
+        WITH bad AS (
+            SELECT DISTINCT conv_id FROM read_parquet('{turns}')
+            WHERE conv_id IS NOT NULL AND (
+                coalesce(role, 'NA') NOT IN
+                    ('system', 'user', 'assistant', 'tool')
+                OR regexp_matches(coalesce(text, ''), '^\\s*$'))
+        ), conv AS (
+            SELECT conv_id,
+                   string_agg(coalesce(role, 'NA') || ': '
+                                  || coalesce(text, ''), chr(10)
+                              ORDER BY turn_idx,
+                                       coalesce(role, 'NA') || ': '
+                                           || coalesce(text, ''))
+                       AS conv_text
+            FROM read_parquet('{turns}')
+            WHERE conv_id IS NOT NULL
+              AND conv_id NOT IN (SELECT conv_id FROM bad)
+            GROUP BY conv_id
+        ), kept AS (
+            SELECT conv_id, conv_text FROM (
+                SELECT conv_id, conv_text,
+                       min(conv_id) OVER (PARTITION BY conv_text)
+                           AS keeper
+                FROM conv)
+            WHERE conv_id = keeper
+        ), toks AS (
+            SELECT conv_id,
+                   length(regexp_extract_all(coalesce(conv_text, ''),
+                                             '\\S+')) AS n_tokens
+            FROM kept
+        ), scan AS (
+            SELECT conv_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY conv_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS run_sum
+            FROM toks
+        )
+        SELECT conv_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor((run_sum - n_tokens) / 4096.0) AS BIGINT)
+                   AS bin_id
+        FROM scan
+    """
+
     role_len_sql = f"""
         SELECT coalesce(role, 'NA') AS role,
                CAST(quantile_disc(length(coalesce(text, '')), 0.5)
@@ -1530,6 +1575,7 @@ def _transcript_oracles() -> dict[str, str]:
         "response_latency_transcript": latency_sql,
         "tool_usage_transcript": tool_usage_sql,
         "role_length_quantiles_transcript": role_len_sql,
+        "corpus_prep_transcript": prep_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -3048,3 +3048,81 @@ def role_length_quantiles_transcript(sf_dir: str):
                          "n": pc.cast(t["n"], pa.int64())})
 
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def corpus_prep_transcript(sf_dir: str):
+    """End-to-end training-corpus preparation for the transcript payload
+    — the composed pipeline a user of this engine actually ships:
+    (1) GATE: drop whole conversations containing an enum-invalid role
+    or blank text (the SQL-replicable core of the validation suite);
+    (2) FLATTEN: surviving conversations to one training document each;
+    (3) DEDUP: exact keep-first on the flattened text (min conv_id per
+    content wins); (4) PACK: 4096-token shards by running token offset.
+    Every stage is a proven primitive (combiner flag fold -> anti join
+    -> flatten_turns -> keep-first -> ordered_prefix_sum); text crosses
+    the wire only where it IS the payload."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.functions.text import token_count
+    from crn_meta_validate_ray.stages.common import grouped_map
+    from crn_meta_validate_ray.stages.scan import ordered_prefix_sum
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+    ROLES = ["system", "user", "assistant", "tool"]
+    info = _transcript_corpus(sf_dir)
+    turns = rd.read_parquet(info["turns_dir"],
+                            columns=["conv_id", "turn_idx", "role",
+                                     "text"]).materialize()
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        role = pc.fill_null(pc.cast(t["role"], pa.string()), "NA")
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        bad_role = pc.invert(pc.is_in(role, value_set=pa.array(ROLES)))
+        blank = pc.equal(pc.utf8_trim_whitespace(text), "")
+        bad = pc.or_(bad_role, blank)
+        df = pd.DataFrame({
+            "conv_id": np.asarray(t["conv_id"].to_pandas(), dtype=object),
+            "bad": np.asarray(bad, dtype=np.int64)})
+        g = df.groupby("conv_id", sort=False)["bad"].max().reset_index()
+        return pa.Table.from_pydict({
+            "conv_id": g["conv_id"].astype(str).to_numpy(),
+            "bad": g["bad"].to_numpy(np.int64)})
+
+    bad_ids = turns.map_batches(flag_partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("conv_id").aggregate(Max("bad", alias_name="bad")) \
+        .filter(expr="bad == 1").select_columns(["conv_id"])
+
+    flat = flatten_turns(turns)
+    good = hash_join(flat.select_columns(["conv_id", "conv_text"]),
+                     bad_ids, left_on="conv_id", how="anti")
+
+    def keeper_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"conv_id": pd.Series(dtype=str)})
+        # conv_id is fixed-width (conv_%08d): lexicographic min == min
+        k = df.groupby("conv_text", sort=False)["conv_id"].min()
+        return pd.DataFrame({"conv_id": k.astype(str).to_numpy()})
+
+    keepers = grouped_map(good, ["conv_text"], keeper_partial)
+    kept = hash_join(good, keepers, left_on="conv_id", how="semi")
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": pc.cast(t["conv_id"], pa.string()),
+            "n_tokens": pc.cast(token_count(t["conv_text"]), pa.int64())})
+
+    narrow = kept.map_batches(tok, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    scanned = ordered_prefix_sum(narrow, "conv_id", "n_tokens",
+                                 out_col="run_sum", integer=True)
+
+    def binify(t: pa.Table) -> pa.Table:
+        run = np.asarray(t["run_sum"].to_pandas(), dtype=np.int64)
+        n = np.asarray(t["n_tokens"].to_pandas(), dtype=np.int64)
+        return pa.table({"conv_id": t["conv_id"],
+                         "n_tokens": t["n_tokens"],
+                         "bin_id": pa.array((run - n) // 4096)})
+
+    return scanned.map_batches(binify, batch_format="pyarrow")
