@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_length_quantiles_transcript":
             q.role_length_quantiles_transcript,
         "corpus_prep_transcript": q.corpus_prep_transcript,
+        "turncount_reconcile_transcript": q.turncount_reconcile_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1446,6 +1447,23 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY p.conv_id
     """
 
+    reconcile_sql = f"""
+        WITH actual AS (
+            SELECT conv_id, count(*) AS actual
+            FROM read_parquet('{turns}')
+            WHERE conv_id IS NOT NULL GROUP BY conv_id
+        ), hdr AS (
+            SELECT conv_id, CAST(n_turns AS BIGINT) AS declared
+            FROM read_parquet('{convs}')
+        )
+        SELECT coalesce(h.conv_id, a.conv_id) AS conv_id,
+               coalesce(h.declared, 0) AS declared,
+               coalesce(a.actual, 0) AS actual,
+               coalesce(a.actual, 0) - coalesce(h.declared, 0) AS delta
+        FROM hdr h FULL OUTER JOIN actual a ON a.conv_id = h.conv_id
+        WHERE coalesce(a.actual, 0) <> coalesce(h.declared, 0)
+    """
+
     prep_sql = f"""
         WITH bad AS (
             SELECT DISTINCT conv_id FROM read_parquet('{turns}')
@@ -1576,6 +1594,7 @@ def _transcript_oracles() -> dict[str, str]:
         "tool_usage_transcript": tool_usage_sql,
         "role_length_quantiles_transcript": role_len_sql,
         "corpus_prep_transcript": prep_sql,
+        "turncount_reconcile_transcript": reconcile_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -3126,3 +3126,59 @@ def corpus_prep_transcript(sf_dir: str):
                          "bin_id": pa.array((run - n) // 4096)})
 
     return scanned.map_batches(binify, batch_format="pyarrow")
+
+
+def turncount_reconcile_transcript(sf_dir: str):
+    """Header consistency check (referential family, J-extension): the
+    conversations header declares n_turns; reconcile it against the
+    actual per-conversation turn count and emit every mismatch.
+    Actual counts fold from batch-local combiners ((conv_id, partial)
+    rows only); the header side joins through the shuffle hash join —
+    conversations missing all turns and headers with wrong counts both
+    surface (FULL OUTER + delta filter)."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+    info = _transcript_corpus(sf_dir)
+    turns = rd.read_parquet(info["turns_dir"], columns=["conv_id"])
+    headers = rd.read_parquet(info["conversations"],
+                              columns=["conv_id", "n_turns"])
+
+    def actual_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        df = pd.DataFrame({"conv_id": np.asarray(
+            t["conv_id"].to_pandas(), dtype=object)})
+        g = df.groupby("conv_id", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pydict({
+            "conv_id": g["conv_id"].astype(str).to_numpy(),
+            "n": g["n"].to_numpy(np.int64)})
+
+    actual = turns.map_batches(actual_partial, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("conv_id").aggregate(Sum("n", alias_name="actual"))
+
+    def cast_a(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": pc.cast(t["conv_id"], pa.string()),
+                         "actual": pc.cast(t["actual"], pa.int64())})
+
+    def cast_h(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": pc.cast(t["conv_id"], pa.string()),
+                         "declared": pc.cast(t["n_turns"], pa.int64())})
+
+    joined = hash_join(
+        headers.map_batches(cast_h, batch_format="pyarrow"),
+        actual.map_batches(cast_a, batch_format="pyarrow"),
+        left_on="conv_id", how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        decl = pc.fill_null(pc.cast(t["declared"], pa.int64()), 0)
+        act = pc.fill_null(pc.cast(t["actual"], pa.int64()), 0)
+        out = pa.table({
+            "conv_id": pc.cast(t["conv_id"], pa.string()),
+            "declared": decl,
+            "actual": act,
+            "delta": pc.subtract(act, decl)})
+        return out.filter(pc.not_equal(out["delta"], 0))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
