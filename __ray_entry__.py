@@ -1099,7 +1099,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id,
                        min(ts) FILTER (WHERE event_type = 'signup')
                            AS ts_s
-                FROM events GROUP BY user_id
+                FROM events WHERE user_id IS NOT NULL GROUP BY user_id
             ), v AS (
                 SELECT e.user_id, min(e.ts) AS ts_v
                 FROM events e JOIN s ON s.user_id = e.user_id
@@ -1129,17 +1129,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE event_type = 'signup')
                        AS n_signup,
                    count(*) FILTER (WHERE event_type = 'view') AS n_view,
-                   round(sum(value), 4) AS sum_value,
+                   round(coalesce(sum(value), 0), 4) AS sum_value,
                    CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
                        AS span_s
-            FROM events GROUP BY user_id
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
         """,
         "moving_avg_events": """
             SELECT event_id, user_id,
                    count(*) OVER w AS win_n,
-                   round(sum(value) OVER w, 4) AS win_sum,
-                   round(sum(value) OVER w / count(*) OVER w, 4)
-                       AS win_avg
+                   round(coalesce(sum(value) OVER w, 0), 4) AS win_sum,
+                   round(coalesce(sum(value) OVER w, 0)
+                         / count(*) OVER w, 4) AS win_avg
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)

@@ -2103,6 +2103,12 @@ def flatten_turns(ds: "rd.Dataset") -> "rd.Dataset":
                           zero_copy_batch=True)
 
     def flatten(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "conv_id": pd.Series(dtype=str),
+                "n_turns": pd.Series(dtype=np.int64),
+                "conv_text": pd.Series(dtype=str),
+                "n_chars": pd.Series(dtype=np.int64)})
         df = df.sort_values(["conv_id", "turn_idx", "line"],
                             kind="stable", na_position="last")
         g = df.groupby("conv_id", sort=False)
@@ -2301,6 +2307,12 @@ def extract_pairs(ds: "rd.Dataset") -> "rd.Dataset":
                           zero_copy_batch=True)
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "conv_id": pd.Series(dtype=str),
+                "turn_idx": pd.Series(dtype="Int64"),
+                "prompt": pd.Series(dtype=str),
+                "response": pd.Series(dtype=str)})
         df = df.sort_values(["conv_id", "turn_idx", "role", "text"],
                             kind="stable", na_position="last")
         g = df.groupby("conv_id", sort=False)
@@ -2409,6 +2421,9 @@ def user_features_events(sf_dir: str):
                          columns=["user_id", "event_type", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # SQL GROUP BY semantics: drop the NULL-user group (oracle has
+        # WHERE user_id IS NOT NULL); sum()/min()/max() ignore NULLs
+        t = t.filter(pc.is_valid(t["user_id"]))
         df = t.to_pandas()
         users, uinv = np.unique(df["user_id"].to_numpy(np.int64),
                                 return_inverse=True)
@@ -2420,15 +2435,20 @@ def user_features_events(sf_dir: str):
             cols[f"n_{name}"] = np.bincount(
                 uinv[tcodes == ti], minlength=n_u).astype(np.int64)
         cols["sum_value"] = np.bincount(
-            uinv, weights=df["value"].to_numpy(np.float64),
-            minlength=n_u)
-        ts = df["ts"].astype("datetime64[us]").astype(np.int64) \
-            .to_numpy()
+            uinv, weights=df["value"].fillna(0.0)
+            .to_numpy(np.float64), minlength=n_u)
+        ts_raw = df["ts"].astype("datetime64[us]")
+        valid = ts_raw.notna().to_numpy()
+        ts = ts_raw.astype(np.int64).to_numpy()
         gmin = np.full(n_u, np.iinfo(np.int64).max)
         gmax = np.full(n_u, np.iinfo(np.int64).min)
-        np.minimum.at(gmin, uinv, ts)
-        np.maximum.at(gmax, uinv, ts)
-        cols["min_ts"], cols["max_ts"] = gmin, gmax
+        np.minimum.at(gmin, uinv[valid], ts[valid])
+        np.maximum.at(gmax, uinv[valid], ts[valid])
+        has_ts = np.zeros(n_u, dtype=bool)
+        has_ts[uinv[valid]] = True
+        cols["min_ts"] = gmin
+        cols["max_ts"] = gmax
+        cols["has_ts"] = has_ts.astype(np.int64)
         return pa.Table.from_pydict(cols)
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
@@ -2436,7 +2456,8 @@ def user_features_events(sf_dir: str):
             *[Sum(f"n_{n}", alias_name=f"n_{n}") for n in TYPES],
             Sum("sum_value", alias_name="sum_value"),
             Min("min_ts", alias_name="min_ts"),
-            Max("max_ts", alias_name="max_ts"))
+            Max("max_ts", alias_name="max_ts"),
+            Max("has_ts", alias_name="has_ts"))
 
     def finish(t: pa.Table) -> pa.Table:
         out = {"user_id": pc.cast(t["user_id"], pa.int64())}
@@ -2444,11 +2465,14 @@ def user_features_events(sf_dir: str):
             out[f"n_{n}"] = pc.cast(t[f"n_{n}"], pa.int64())
         out["sum_value"] = pc.round(t["sum_value"], 4)
         # SQL date_diff('second') counts boundary crossings:
-        # floor(b/1e6) - floor(a/1e6), not floor((b-a)/1e6)
+        # floor(b/1e6) - floor(a/1e6), not floor((b-a)/1e6);
+        # users with no valid ts get NULL span like SQL min()/max()
         usec = pa.scalar(1_000_000, pa.int64())
-        out["span_s"] = pc.cast(
-            pc.subtract(pc.divide(t["max_ts"], usec),
-                        pc.divide(t["min_ts"], usec)), pa.int64())
+        span = pc.subtract(pc.divide(t["max_ts"], usec),
+                           pc.divide(t["min_ts"], usec))
+        out["span_s"] = pc.if_else(
+            pc.equal(pc.cast(t["has_ts"], pa.int64()), 1),
+            pc.cast(span, pa.int64()), pa.scalar(None, pa.int64()))
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -2533,6 +2557,19 @@ def funnel_events(sf_dir: str):
     rows = ds.map_batches(narrow, batch_format="pyarrow",
                           zero_copy_batch=True)
 
+    # the oracle emits one row per user with ANY event (all-NULL stages
+    # for users who never entered the funnel) — fold the full user
+    # universe via a tiny distinct combiner and left-join the funnel
+    def uid_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["user_id"]))
+        ids = pc.unique(pc.cast(t["user_id"], pa.int64()))
+        return pa.table({"user_id": ids})
+
+    universe = ds.map_batches(uid_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Count(alias_name="_c")) \
+        .select_columns(["user_id"])
+
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({
@@ -2559,7 +2596,15 @@ def funnel_events(sf_dir: str):
             "ts_view": out["ts_view"].astype("Int64"),
             "ts_purchase": out["ts_purchase"].astype("Int64")})
 
-    return grouped_map(rows, ["user_id"], fold)
+    from crn_meta_validate_ray.stages.shufflejoin import hash_join
+
+    def cast_u(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64())})
+
+    funnel = grouped_map(rows, ["user_id"], fold)
+    return hash_join(universe.map_batches(cast_u, batch_format="pyarrow"),
+                     funnel, left_on="user_id", how="left",
+                     validate_unique_right=True)
 
 
 def dup_turns_transcript(sf_dir: str):
@@ -2969,7 +3014,9 @@ def tool_usage_transcript(sf_dir: str):
                                    Sum("sum_chars", alias_name="sum_chars"))
 
     def reach_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["tool"]))
+        # count(DISTINCT conv_id) ignores NULL conv_ids
+        t = t.filter(pc.and_(pc.is_valid(t["tool"]),
+                             pc.is_valid(t["conv_id"])))
         df = pd.DataFrame({
             "tool": np.asarray(t["tool"].to_pandas(), dtype=object),
             "conv_id": np.asarray(t["conv_id"].to_pandas(),

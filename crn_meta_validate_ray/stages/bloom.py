@@ -118,13 +118,17 @@ def incremental_dedup(new_ds: "rd.Dataset", snapshot_ds: "rd.Dataset", *,
     the exact anti-join against the snapshot."""
     from crn_meta_validate_ray.stages.shufflejoin import hash_join
 
+    # the snapshot lineage feeds count + bitmap build + the anti-join;
+    # the tagged lineage feeds two filter consumers — materialize both
+    # so each scan runs once (cf. the rank_normalize/table_diff pattern)
+    snapshot_ds = snapshot_ds.materialize()
     if n_bits is None:
         n = snapshot_ds.count()
         n_bits = max(1 << 10, 1 << int(np.ceil(np.log2(max(16 * n, 1)))))
     bitmap_ref = ray.put(build_bloom(snapshot_ds, col=key_col,
                                      n_bits=n_bits, k=k))
     tagged = bloom_split(new_ds, bitmap_ref, col=key_col,
-                         n_bits=n_bits, k=k)
+                         n_bits=n_bits, k=k).materialize()
     definite = tagged.filter(expr="maybe_dup == False") \
         .drop_columns(["maybe_dup"])
     candidates = tagged.filter(expr="maybe_dup == True") \

@@ -36,6 +36,9 @@ import ray.data as rd
 def chunk_table(t: pa.Table, *, text_col: str, id_col: str,
                 size: int, stride: int) -> pa.Table:
     """Expand one Arrow batch into chunk rows (pure function, testable)."""
+    if stride <= 0 or size <= 0:
+        # guard here, not only in the wrapper: stride=0 would loop forever
+        raise ValueError("size and stride must be positive")
     ids = pc.cast(t[id_col], pa.int64())
     text = t[text_col]
     if isinstance(text, pa.ChunkedArray):

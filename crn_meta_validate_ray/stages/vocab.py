@@ -73,7 +73,8 @@ def remove_frequent_tokens(ds: "rd.Dataset", *, text_col: str = "text",
     n_docs) from every document.  Returns (id_col, clean_text, n_kept,
     n_dropped) rows; surviving tokens keep their original order and are
     re-joined with ``split_sep``."""
-    narrow = ds.select_columns([id_col, text_col])
+    # three consumers (count, DF pass, strip pass) — one scan, cached
+    narrow = ds.select_columns([id_col, text_col]).materialize()
     n_docs = narrow.count()
     min_df = max(1, math.ceil(min_df_frac * n_docs))
     stop = token_document_frequency(narrow, text_col=text_col,

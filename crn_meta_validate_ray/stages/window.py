@@ -223,6 +223,10 @@ def moving_aggregate(ds: "rd.Dataset", *, key_col: str = "user_id",
                 "win_sum": pd.Series(dtype=np.float64),
                 "win_avg": pd.Series(dtype=np.float64)})
         df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        # SQL window sum() ignores NULL values (count(*) still counts
+        # the row); a null propagating through cumsum would poison every
+        # later window of the key
+        df[value_col] = df[value_col].fillna(0.0)
         g = df.groupby(key_col, sort=False)
         cs = g[value_col].cumsum().to_numpy(dtype=np.float64)
         pos = g.cumcount().to_numpy(dtype=np.int64)
