@@ -2400,8 +2400,12 @@ def moving_avg_events(sf_dir: str):
             "event_id": pc.cast(t["event_id"], pa.int64()),
             "user_id": pc.cast(t["user_id"], pa.int64()),
             "win_n": pc.cast(t["win_n"], pa.int64()),
-            "win_sum": pc.round(t["win_sum"], 4),
-            "win_avg": pc.round(t["win_avg"], 4)})
+            # half_towards_infinity = SQL round() tie direction; window
+            # sums of decimal-ish inputs DO land on .xxxx5 ties
+            "win_sum": pc.round(t["win_sum"], 4,
+                                round_mode="half_towards_infinity"),
+            "win_avg": pc.round(t["win_avg"], 4,
+                                round_mode="half_towards_infinity")})
 
     return out.map_batches(cast, batch_format="pyarrow")
 
