@@ -99,3 +99,70 @@ def test_moving_avg_null_values(entry_mod, crafted_events, ray_session):
 def test_rank_normalize_still_green(entry_mod, crafted_events,
                                     ray_session):
     _compare(entry_mod, "rank_normalize_events", crafted_events)
+
+
+@pytest.fixture(scope="module")
+def crafted_documents(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nullish_docs")
+    rng = np.random.default_rng(29)
+    texts = []
+    for i in range(120):
+        r = rng.random()
+        if r < 0.08:
+            texts.append(None)
+        elif r < 0.14:
+            texts.append("")
+        elif r < 0.2:
+            texts.append("   ")
+        elif r < 0.3:
+            texts.append("äöü 日本語 🙂 " * int(rng.integers(1, 9)))
+        else:
+            words = rng.choice(["table", "scan", "dup", "the", "a",
+                                "merge", "row"], rng.integers(1, 40))
+            texts.append(" ".join(words))
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(rng.choice(["en", "de", None], n).tolist(),
+                         pa.string()),
+        "source": pa.array(rng.choice(["web", "chat"], n).tolist(),
+                           pa.string()),
+        "n_chars": pa.array([len(x) if x else 0 for x in texts],
+                            pa.int64()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _compare_docs(entry_mod, qname, sf_dir, float_round=None):
+    out = entry_mod.queries()[qname](sf_dir)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"FROM read_parquet('{sf_dir}/documents.parquet')")
+    want = con.sql(entry_mod.oracle_sql()[qname]).df()
+    cols = sorted(out.columns)
+    assert sorted(want.columns) == cols, (qname, out.columns, want.columns)
+    got = out[cols].sort_values(cols).reset_index(drop=True)
+    exp = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(exp), (qname, len(got), len(exp))
+    for c in cols:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            np.testing.assert_allclose(g.astype(float), e.astype(float),
+                                       atol=1e-9, err_msg=f"{qname}.{c}")
+        else:
+            ge, ee = g.astype("object"), e.astype("object")
+            mask = ge.isna() & ee.isna()
+            assert (mask | (ge == ee)).all(), (qname, c)
+
+
+@pytest.mark.parametrize("qname", [
+    "chunk_documents", "stopword_filter_documents", "entropy_documents",
+    "weighted_sample_documents", "incremental_dedup_documents",
+])
+def test_documents_queries_null_and_unicode(entry_mod, crafted_documents,
+                                            ray_session, qname):
+    _compare_docs(entry_mod, qname, crafted_documents)
