@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.role_length_quantiles_transcript,
         "corpus_prep_transcript": q.corpus_prep_transcript,
         "turncount_reconcile_transcript": q.turncount_reconcile_transcript,
+        "truncate_conversations_transcript":
+            q.truncate_conversations_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1447,6 +1449,24 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY p.conv_id
     """
 
+    truncate_sql = f"""
+        WITH t AS (
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   coalesce(role, 'NA') AS role,
+                   coalesce(text, '') AS text
+            FROM read_parquet('{turns}')
+            WHERE conv_id IS NOT NULL
+        ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY conv_id
+                ORDER BY turn_idx DESC NULLS FIRST, role DESC, text DESC)
+                AS pos_from_end
+            FROM t
+        )
+        SELECT conv_id, turn_idx, role, text,
+               CAST(pos_from_end AS BIGINT) AS pos_from_end
+        FROM r WHERE pos_from_end <= 8
+    """
+
     reconcile_sql = f"""
         WITH actual AS (
             SELECT conv_id, count(*) AS actual
@@ -1595,6 +1615,7 @@ def _transcript_oracles() -> dict[str, str]:
         "role_length_quantiles_transcript": role_len_sql,
         "corpus_prep_transcript": prep_sql,
         "turncount_reconcile_transcript": reconcile_sql,
+        "truncate_conversations_transcript": truncate_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -3233,3 +3233,55 @@ def turncount_reconcile_transcript(sf_dir: str):
         return out.filter(pc.not_equal(out["delta"], 0))
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def truncate_conversations_transcript(sf_dir: str):
+    """Context-window truncation: keep each conversation's LAST 8 turns
+    in (turn_idx, role, text) order — the standard context-trim applied
+    before packing long histories into a fixed training window.  One
+    co-located pass per conversation; per bucket a single stable sort +
+    groupby-cumcount-from-the-end selects the tail vectorized."""
+    import pandas as pd
+
+    from crn_meta_validate_ray.stages.common import grouped_map
+
+    K = 8
+    info = _transcript_corpus(sf_dir)
+    ds = rd.read_parquet(info["turns_dir"],
+                         columns=["conv_id", "turn_idx", "role", "text"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "role": pc.fill_null(pc.cast(t["role"], pa.string()), "NA"),
+            "text": pc.fill_null(pc.cast(t["text"], pa.string()), "")})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def tail(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "conv_id": pd.Series(dtype=str),
+                "turn_idx": pd.Series(dtype="Int64"),
+                "role": pd.Series(dtype=str),
+                "text": pd.Series(dtype=str),
+                "pos_from_end": pd.Series(dtype=np.int64)})
+        # descending order, tie-broken by the rendered payload so the
+        # "last K" set is deterministic under duplicate turn_idx
+        df = df.sort_values(["conv_id", "turn_idx", "role", "text"],
+                            ascending=[True, False, False, False],
+                            kind="stable", na_position="first")
+        pos = df.groupby("conv_id", sort=False).cumcount() + 1
+        keep = pos <= K
+        out = df[keep]
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].astype(str),
+            "turn_idx": out["turn_idx"][keep].astype("Int64"),
+            "role": out["role"].astype(str),
+            "text": out["text"].astype(str),
+            "pos_from_end": pos[keep].astype(np.int64)})
+
+    return grouped_map(rows, ["conv_id"], tail)
