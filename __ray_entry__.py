@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": q.langid_documents,
         "repetition_documents": q.repetition_documents,
         "label_centroids_embeddings": q.label_centroids_embeddings,
+        "label_variance_embeddings": q.label_variance_embeddings,
         "mixture_sample_documents": q.mixture_sample_documents,
         "props_stats_events": q.props_stats_events,
         "colstats_lineitem": q.colstats_lineitem,
@@ -424,6 +425,18 @@ def oracle_sql() -> dict[str, str]:
                            CAST(doc_id AS VARCHAR))), 1, 8))
                        AS BIGINT) % 100
                   < least(10 + 5 * CAST(substr(source, 4) AS BIGINT), 100)
+        """,
+        "label_variance_embeddings": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(pos AS BIGINT) AS pos,
+                   round(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
+                             / count(*)
+                         - pow(sum(CAST(v AS DOUBLE)) / count(*), 2), 5)
+                       AS var_v
+            FROM (SELECT label, unnest(embedding) AS v,
+                         unnest(range(1, len(embedding) + 1)) AS pos
+                  FROM embeddings)
+            GROUP BY label, pos
         """,
         "label_centroids_embeddings": """
             SELECT CAST(label AS BIGINT) AS label,

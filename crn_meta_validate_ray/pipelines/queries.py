@@ -3285,3 +3285,58 @@ def truncate_conversations_transcript(sf_dir: str):
             "pos_from_end": pos[keep].astype(np.int64)})
 
     return grouped_map(rows, ["conv_id"], tail)
+
+
+def label_variance_embeddings(sf_dir: str):
+    """Per-label per-dimension population variance (intra-class scatter —
+    the Fisher-discriminant / cluster-quality building block).  Extends
+    the centroid combiner with second moments: each batch folds to
+    (label, pos, s, s2, n) partials via unique + scatter-add, the
+    groupby merges them, and var = s2/n - (s/n)^2 on the merged sums.
+    round(5) absorbs summation-order ULP vs the DuckDB oracle."""
+    from crn_meta_validate_ray.stages.similarity import _matrix
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _matrix(t, "embedding").astype(np.float64)
+        if m.size == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "s2": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        labels = np.asarray(t["label"].to_pandas(), dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(uniq), d))
+        sqs = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, m)
+        np.add.at(sqs, inv, m * m)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "s2": pa.array(sqs.ravel()),
+            "n": pa.array(np.repeat(counts, d))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["label", "pos"]).aggregate(
+            Sum("s", alias_name="s"), Sum("s2", alias_name="s2"),
+            Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"], dtype=np.float64)
+        s2 = np.asarray(t["s2"], dtype=np.float64)
+        n = np.asarray(t["n"], dtype=np.float64)
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int64()),
+            "pos": pc.cast(t["pos"], pa.int64()),
+            "var_v": pc.round(pa.array(s2 / n - (s / n) ** 2),
+                              5)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
