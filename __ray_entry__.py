@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": q.repetition_documents,
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "label_variance_embeddings": q.label_variance_embeddings,
+        "fisher_scores_embeddings": q.fisher_scores_embeddings,
         "mixture_sample_documents": q.mixture_sample_documents,
         "props_stats_events": q.props_stats_events,
         "colstats_lineitem": q.colstats_lineitem,
@@ -425,6 +426,26 @@ def oracle_sql() -> dict[str, str]:
                            CAST(doc_id AS VARCHAR))), 1, 8))
                        AS BIGINT) % 100
                   < least(10 + 5 * CAST(substr(source, 4) AS BIGINT), 100)
+        """,
+        "fisher_scores_embeddings": """
+            WITH flat AS (
+                SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings
+            ), lab AS (
+                SELECT label, pos, count(*) AS n, avg(v) AS mu,
+                       sum(v * v) / count(*) - pow(avg(v), 2) AS w
+                FROM flat GROUP BY label, pos
+            ), tot AS (
+                SELECT pos, sum(n) AS nn,
+                       sum(n * mu) / sum(n) AS gmu
+                FROM lab GROUP BY pos
+            )
+            SELECT CAST(l.pos AS BIGINT) AS pos,
+                   round((sum(l.n * pow(l.mu - t.gmu, 2)) / t.nn)
+                         / (sum(l.n * l.w) / t.nn), 5) AS fisher
+            FROM lab l JOIN tot t ON t.pos = l.pos
+            GROUP BY l.pos, t.nn
         """,
         "label_variance_embeddings": """
             SELECT CAST(label AS BIGINT) AS label,

@@ -3340,3 +3340,61 @@ def label_variance_embeddings(sf_dir: str):
                               5)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def fisher_scores_embeddings(sf_dir: str):
+    """Per-dimension Fisher discriminant score (between-class variance /
+    within-class variance) — the classical feature-separability ranking
+    for labeled embeddings.  The distributed part is the same
+    (label, pos, s, s2, n) second-moment combiner as label variance;
+    the finish folds the tiny |labels|x d moment table on the driver
+    (bounded, like the groupcheck merge) into d scores."""
+    from crn_meta_validate_ray.stages.similarity import _matrix
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _matrix(t, "embedding").astype(np.float64)
+        if m.size == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "s2": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        labels = np.asarray(t["label"].to_pandas(), dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(uniq), d))
+        sqs = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, m)
+        np.add.at(sqs, inv, m * m)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "s2": pa.array(sqs.ravel()),
+            "n": pa.array(np.repeat(counts, d))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["label", "pos"]).aggregate(
+            Sum("s", alias_name="s"), Sum("s2", alias_name="s2"),
+            Sum("n", alias_name="n")).take_all()
+
+    import pandas as pd
+    lab = pd.DataFrame(rows)
+    lab["mu"] = lab["s"] / lab["n"]
+    lab["w"] = lab["s2"] / lab["n"] - lab["mu"] ** 2
+    out_pos, out_f = [], []
+    for pos, g in lab.groupby("pos", sort=True):
+        N = g["n"].sum()
+        gmu = (g["n"] * g["mu"]).sum() / N
+        between = (g["n"] * (g["mu"] - gmu) ** 2).sum() / N
+        within = (g["n"] * g["w"]).sum() / N
+        out_pos.append(int(pos))
+        out_f.append(round(between / within, 5))
+    return pa.table({"pos": pa.array(out_pos, pa.int64()),
+                     "fisher": pa.array(out_f, pa.float64())})
