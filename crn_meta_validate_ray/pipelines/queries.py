@@ -3279,7 +3279,7 @@ def truncate_conversations_transcript(sf_dir: str):
         out = df[keep]
         return pd.DataFrame({
             "conv_id": out["conv_id"].astype(str),
-            "turn_idx": out["turn_idx"][keep].astype("Int64"),
+            "turn_idx": out["turn_idx"].astype("Int64"),
             "role": out["role"].astype(str),
             "text": out["text"].astype(str),
             "pos_from_end": pos[keep].astype(np.int64)})
@@ -3287,17 +3287,13 @@ def truncate_conversations_transcript(sf_dir: str):
     return grouped_map(rows, ["conv_id"], tail)
 
 
-def label_variance_embeddings(sf_dir: str):
-    """Per-label per-dimension population variance (intra-class scatter —
-    the Fisher-discriminant / cluster-quality building block).  Extends
-    the centroid combiner with second moments: each batch folds to
-    (label, pos, s, s2, n) partials via unique + scatter-add, the
-    groupby merges them, and var = s2/n - (s/n)^2 on the merged sums.
-    round(5) absorbs summation-order ULP vs the DuckDB oracle."""
+def _label_moment_partials(ds: "rd.Dataset"):
+    """Shared second-moment combiner for labeled embeddings: per batch,
+    fold vectors into (label, pos, s, s2, n) partials via unique +
+    scatter-add, merged by a tiny groupby.  Used by label variance and
+    the Fisher-score finish (centroids predate it and ship first moments
+    only)."""
     from crn_meta_validate_ray.stages.similarity import _matrix
-
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
-                         columns=["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
         m = _matrix(t, "embedding").astype(np.float64)
@@ -3323,11 +3319,22 @@ def label_variance_embeddings(sf_dir: str):
             "s2": pa.array(sqs.ravel()),
             "n": pa.array(np.repeat(counts, d))})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True) \
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
         .groupby(["label", "pos"]).aggregate(
             Sum("s", alias_name="s"), Sum("s2", alias_name="s2"),
             Sum("n", alias_name="n"))
+
+
+def label_variance_embeddings(sf_dir: str):
+    """Per-label per-dimension population variance (intra-class scatter —
+    the Fisher-discriminant / cluster-quality building block) over the
+    shared second-moment combiner (``_label_moment_partials``);
+    var = s2/n - (s/n)^2 on the merged sums.  round(5) absorbs
+    summation-order ULP vs the DuckDB oracle."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+    agg = _label_moment_partials(ds)
 
     def finish(t: pa.Table) -> pa.Table:
         s = np.asarray(t["s"], dtype=np.float64)
@@ -3345,44 +3352,16 @@ def label_variance_embeddings(sf_dir: str):
 def fisher_scores_embeddings(sf_dir: str):
     """Per-dimension Fisher discriminant score (between-class variance /
     within-class variance) — the classical feature-separability ranking
-    for labeled embeddings.  The distributed part is the same
-    (label, pos, s, s2, n) second-moment combiner as label variance;
-    the finish folds the tiny |labels|x d moment table on the driver
+    for labeled embeddings.  The distributed part is the shared
+    (label, pos, s, s2, n) combiner (``_label_moment_partials``); the
+    finish folds the tiny |labels|x d moment table on the driver
     (bounded, like the groupcheck merge) into d scores."""
-    from crn_meta_validate_ray.stages.similarity import _matrix
-
     ds = rd.read_parquet(_p(sf_dir, "embeddings"),
                          columns=["label", "embedding"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        m = _matrix(t, "embedding").astype(np.float64)
-        if m.size == 0:
-            return pa.table({"label": pa.array([], type=pa.int64()),
-                             "pos": pa.array([], type=pa.int64()),
-                             "s": pa.array([], type=pa.float64()),
-                             "s2": pa.array([], type=pa.float64()),
-                             "n": pa.array([], type=pa.int64())})
-        labels = np.asarray(t["label"].to_pandas(), dtype=np.int64)
-        uniq, inv = np.unique(labels, return_inverse=True)
-        d = m.shape[1]
-        sums = np.zeros((len(uniq), d))
-        sqs = np.zeros((len(uniq), d))
-        np.add.at(sums, inv, m)
-        np.add.at(sqs, inv, m * m)
-        counts = np.bincount(inv).astype(np.int64)
-        return pa.table({
-            "label": pa.array(np.repeat(uniq, d)),
-            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
-                                    len(uniq))),
-            "s": pa.array(sums.ravel()),
-            "s2": pa.array(sqs.ravel()),
-            "n": pa.array(np.repeat(counts, d))})
-
-    rows = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby(["label", "pos"]).aggregate(
-            Sum("s", alias_name="s"), Sum("s2", alias_name="s2"),
-            Sum("n", alias_name="n")).take_all()
+    rows = _label_moment_partials(ds).take_all()
+    if not rows:
+        return pa.table({"pos": pa.array([], pa.int64()),
+                         "fisher": pa.array([], pa.float64())})
 
     import pandas as pd
     lab = pd.DataFrame(rows)

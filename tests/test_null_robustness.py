@@ -56,15 +56,13 @@ def crafted_events(tmp_path_factory):
     return str(d)
 
 
-def _compare(entry_mod, qname, sf_dir):
+def _compare(entry_mod, qname, sf_dir, table="events"):
     out = entry_mod.queries()[qname](sf_dir)
     if hasattr(out, "to_pandas"):
         out = out.to_pandas()
-    elif isinstance(out, pa.Table):
-        out = out.to_pandas()
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW events AS "
-                f"FROM read_parquet('{sf_dir}/events.parquet')")
+    con.execute(f"CREATE VIEW {table} AS "
+                f"FROM read_parquet('{sf_dir}/{table}.parquet')")
     want = con.sql(entry_mod.oracle_sql()[qname]).df()
     cols = sorted(out.columns)
     assert sorted(want.columns) == cols, (qname, out.columns, want.columns)
@@ -135,34 +133,10 @@ def crafted_documents(tmp_path_factory):
     return str(d)
 
 
-def _compare_docs(entry_mod, qname, sf_dir, float_round=None):
-    out = entry_mod.queries()[qname](sf_dir)
-    if hasattr(out, "to_pandas"):
-        out = out.to_pandas()
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS "
-                f"FROM read_parquet('{sf_dir}/documents.parquet')")
-    want = con.sql(entry_mod.oracle_sql()[qname]).df()
-    cols = sorted(out.columns)
-    assert sorted(want.columns) == cols, (qname, out.columns, want.columns)
-    got = out[cols].sort_values(cols).reset_index(drop=True)
-    exp = want[cols].sort_values(cols).reset_index(drop=True)
-    assert len(got) == len(exp), (qname, len(got), len(exp))
-    for c in cols:
-        g, e = got[c], exp[c]
-        if g.dtype.kind == "f" or e.dtype.kind == "f":
-            np.testing.assert_allclose(g.astype(float), e.astype(float),
-                                       atol=1e-9, err_msg=f"{qname}.{c}")
-        else:
-            ge, ee = g.astype("object"), e.astype("object")
-            mask = ge.isna() & ee.isna()
-            assert (mask | (ge == ee)).all(), (qname, c)
-
-
 @pytest.mark.parametrize("qname", [
     "chunk_documents", "stopword_filter_documents", "entropy_documents",
     "weighted_sample_documents", "incremental_dedup_documents",
 ])
 def test_documents_queries_null_and_unicode(entry_mod, crafted_documents,
                                             ray_session, qname):
-    _compare_docs(entry_mod, qname, crafted_documents)
+    _compare(entry_mod, qname, crafted_documents, table="documents")
