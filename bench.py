@@ -49,6 +49,23 @@ def _warm(paths):
                     pass
 
 
+def _calibrate() -> float:
+    """Fixed genuinely-single-threaded numpy workload, ms (best of 3).
+
+    The sandbox host steals CPU in multi-minute bursts that inflate every
+    suite entry uniformly; comparing this probe across two BENCH jsons
+    separates host-window noise from engine regressions (np.sort is
+    single-threaded, unlike BLAS matmul)."""
+    import numpy as np
+    a = np.random.default_rng(0).normal(size=4_000_000)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.sort(a, kind="stable").sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -167,6 +184,7 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "host_calib_ms": _calibrate(),
         **meta,
     }
     ray.shutdown()
