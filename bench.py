@@ -228,7 +228,8 @@ def run_scaling_child(ncpu: int):
     dt = time.perf_counter() - t0
     print(json.dumps({"ncpu": ncpu, "sec": round(dt, 2),
                       "rows": info["n_turns"],
-                      "rows_per_sec": round(info["n_turns"] / dt, 1)}))
+                      "rows_per_sec": round(info["n_turns"] / dt, 1),
+                      "host_calib_ms": _calibrate()}))
     ray.shutdown()
 
 
