@@ -289,6 +289,10 @@ def run_scaling():
         f"rows_per_sec_{hi_n}": hi_best["rows_per_sec"],
         "samples_per_level": iters,
         "scaling_efficiency": round(eff, 3),
+        # host-window indicator of the two WINNING samples: if these
+        # differ materially the ratio above mixes host windows
+        f"host_calib_ms_{lo_n}": lo_best.get("host_calib_ms"),
+        f"host_calib_ms_{hi_n}": hi_best.get("host_calib_ms"),
     }))
 
 
