@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turncount_reconcile_transcript": q.turncount_reconcile_transcript,
         "truncate_conversations_transcript":
             q.truncate_conversations_transcript,
+        "schema_check_transcript": q.schema_check_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1377,6 +1378,9 @@ def _transcript_oracles() -> dict[str, str]:
 
     info = _transcript_corpus("/root/testdata/sf0.01")
     turns = info["turns_dir"] + "/*.parquet"
+    import glob as _glob
+    turns_first = sorted(_glob.glob(
+        info["turns_dir"] + "/*.parquet"))[0]
     convs = info["conversations"]
 
     def bind(sql: str) -> str:
@@ -1481,6 +1485,21 @@ def _transcript_oracles() -> dict[str, str]:
         JOIN m ON m.role_a = p.role_a AND m.role_b = p.role_b
         JOIN tot ON tot.role_a = p.role_a
         GROUP BY p.conv_id
+    """
+
+    schema_check_sql = f"""
+        WITH actual AS (
+            SELECT name, type FROM parquet_schema('{turns_first}')
+            WHERE num_children IS NULL
+        ), expected(name, etype) AS (VALUES
+            ('conv_id', 'BYTE_ARRAY'), ('turn_idx', 'INT32'),
+            ('role', 'BYTE_ARRAY'), ('text', 'BYTE_ARRAY'),
+            ('tool', 'BYTE_ARRAY'), ('ts', 'INT64'))
+        SELECT e.name AS column_name,
+               coalesce(CAST(a.type AS VARCHAR), 'MISSING')
+                   AS physical_type,
+               coalesce(CAST(a.type AS VARCHAR) = e.etype, FALSE) AS ok
+        FROM expected e LEFT JOIN actual a ON a.name = e.name
     """
 
     truncate_sql = f"""
@@ -1650,6 +1669,7 @@ def _transcript_oracles() -> dict[str, str]:
         "corpus_prep_transcript": prep_sql,
         "turncount_reconcile_transcript": reconcile_sql,
         "truncate_conversations_transcript": truncate_sql,
+        "schema_check_transcript": schema_check_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -3377,3 +3377,31 @@ def fisher_scores_embeddings(sf_dir: str):
         out_f.append(round(between / within, 5))
     return pa.table({"pos": pa.array(out_pos, pa.int64()),
                      "fisher": pa.array(out_f, pa.float64())})
+
+
+def schema_check_transcript(sf_dir: str):
+    """Input-schema conformance gate (S-family): verify the turns
+    parquet exposes exactly the north-rule input schema
+    (conv_id:string, turn_idx:int32, role/text/tool:string,
+    ts:timestamp) at the PHYSICAL parquet level — the pre-flight a
+    production run does before touching row data.  Metadata-only: reads
+    one footer, no row bytes; per-file fan-out at scale is a map over
+    file paths (the resumable pipeline's partition listing)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    EXPECT = [("conv_id", "BYTE_ARRAY"), ("turn_idx", "INT32"),
+              ("role", "BYTE_ARRAY"), ("text", "BYTE_ARRAY"),
+              ("tool", "BYTE_ARRAY"), ("ts", "INT64")]
+    info = _transcript_corpus(sf_dir)
+    f = sorted(glob.glob(os.path.join(info["turns_dir"], "*.parquet")))[0]
+    sch = pq.read_metadata(f).schema
+    actual = {sch.column(i).name: sch.column(i).physical_type
+              for i in range(len(sch))}
+    return pa.table({
+        "column_name": pa.array([n for n, _ in EXPECT], pa.string()),
+        "physical_type": pa.array(
+            [actual.get(n, "MISSING") for n, _ in EXPECT], pa.string()),
+        "ok": pa.array([actual.get(n) == t for n, t in EXPECT]),
+    })
