@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncate_conversations_transcript":
             q.truncate_conversations_transcript,
         "schema_check_transcript": q.schema_check_transcript,
+        "rowgroup_prune_orders": q.rowgroup_prune_orders,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1487,6 +1488,33 @@ def _transcript_oracles() -> dict[str, str]:
         GROUP BY p.conv_id
     """
 
+    from crn_meta_validate_ray.pipelines.queries import _rowgrouped_orders
+    rg_path = _rowgrouped_orders("/root/testdata/sf0.01")
+    rowgroup_sql = f"""
+        WITH g AS (
+            SELECT row_group_id,
+                   CAST(min(CASE WHEN path_in_schema = 'o_orderkey'
+                                 THEN stats_min_value END) AS BIGINT)
+                       AS mn,
+                   CAST(max(CASE WHEN path_in_schema = 'o_orderkey'
+                                 THEN stats_max_value END) AS BIGINT)
+                       AS mx,
+                   max(row_group_num_rows) AS nr
+            FROM parquet_metadata('{rg_path}')
+            GROUP BY row_group_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_row_groups,
+               CAST(count(*) FILTER (WHERE mx < 12000 OR mn > 13999)
+                    AS BIGINT) AS n_pruned_groups,
+               CAST(coalesce(sum(nr) FILTER
+                        (WHERE NOT (mx < 12000 OR mn > 13999)), 0)
+                    AS BIGINT) AS n_rows_scanned,
+               (SELECT count(*) FROM read_parquet('{rg_path}')
+                WHERE o_orderkey BETWEEN 12000 AND 13999)
+                   AS n_rows_matching
+        FROM g
+    """
+
     schema_check_sql = f"""
         WITH actual AS (
             SELECT name, type FROM parquet_schema('{turns_first}')
@@ -1670,6 +1698,7 @@ def _transcript_oracles() -> dict[str, str]:
         "turncount_reconcile_transcript": reconcile_sql,
         "truncate_conversations_transcript": truncate_sql,
         "schema_check_transcript": schema_check_sql,
+        "rowgroup_prune_orders": rowgroup_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -3405,3 +3405,60 @@ def schema_check_transcript(sf_dir: str):
             [actual.get(n, "MISSING") for n, _ in EXPECT], pa.string()),
         "ok": pa.array([actual.get(n) == t for n, t in EXPECT]),
     })
+
+
+def _rowgrouped_orders(sf_dir: str) -> str:
+    """Deterministic derived file for the row-group pruning demo: orders
+    sorted by o_orderkey, written in 1000-row row groups (idempotent,
+    keyed by source path).  Shared by the engine query AND the oracle
+    builder so both sides introspect the same footer."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = _p(sf_dir, "orders")
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"rg_orders_{tag}.parquet")
+    if not os.path.isfile(out):
+        t = pq.read_table(src, columns=["o_orderkey", "o_totalprice"])
+        t = t.sort_by("o_orderkey")
+        pq.write_table(t, out, row_group_size=1000)
+    return out
+
+
+def rowgroup_prune_orders(sf_dir: str):
+    """Prune-at-the-read demonstrated as an operator: footer min/max
+    statistics eliminate row groups for a key-range predicate BEFORE any
+    row bytes are read; only surviving groups are scanned and the exact
+    filter applied.  Output proves (a) most groups were pruned from
+    metadata alone and (b) the pruned scan finds every matching row
+    (n_rows_matching equals the full-scan oracle count)."""
+    import pyarrow.parquet as pq
+
+    LO, HI = 12000, 13999
+    path = _rowgrouped_orders(sf_dir)
+    md = pq.read_metadata(path)
+    keep_groups = []
+    n_scanned = 0
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(0).statistics  # o_orderkey
+        if st.max < LO or st.min > HI:
+            continue
+        keep_groups.append(g)
+        n_scanned += md.row_group(g).num_rows
+    pf = pq.ParquetFile(path)
+    n_match = 0
+    for g in keep_groups:
+        t = pf.read_row_group(g, columns=["o_orderkey"])
+        k = t["o_orderkey"]
+        n_match += pc.sum(pc.and_(
+            pc.greater_equal(k, pa.scalar(LO)),
+            pc.less_equal(k, pa.scalar(HI)))).as_py() or 0
+    return pa.table({
+        "n_row_groups": pa.array([md.num_row_groups], pa.int64()),
+        "n_pruned_groups": pa.array(
+            [md.num_row_groups - len(keep_groups)], pa.int64()),
+        "n_rows_scanned": pa.array([n_scanned], pa.int64()),
+        "n_rows_matching": pa.array([n_match], pa.int64()),
+    })
