@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.truncate_conversations_transcript,
         "schema_check_transcript": q.schema_check_transcript,
         "rowgroup_prune_orders": q.rowgroup_prune_orders,
+        "file_census_transcript": q.file_census_transcript,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -1515,6 +1516,13 @@ def _transcript_oracles() -> dict[str, str]:
         FROM g
     """
 
+    census_sql = f"""
+        SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+               CAST(num_rows AS BIGINT) AS n_rows,
+               CAST(num_row_groups AS BIGINT) AS n_row_groups
+        FROM parquet_file_metadata('{turns}')
+    """
+
     schema_check_sql = f"""
         WITH actual AS (
             SELECT name, type FROM parquet_schema('{turns_first}')
@@ -1699,6 +1707,7 @@ def _transcript_oracles() -> dict[str, str]:
         "truncate_conversations_transcript": truncate_sql,
         "schema_check_transcript": schema_check_sql,
         "rowgroup_prune_orders": rowgroup_sql,
+        "file_census_transcript": census_sql,
         "transcript_role_transitions": role_transitions_sql,
         "transcript_conditional": conditional_sql,
         "transcript_violations": bind(_TV_VIOLATIONS_SQL),

@@ -3462,3 +3462,32 @@ def rowgroup_prune_orders(sf_dir: str):
         "n_rows_scanned": pa.array([n_scanned], pa.int64()),
         "n_rows_matching": pa.array([n_match], pa.int64()),
     })
+
+
+def file_census_transcript(sf_dir: str):
+    """Distributed manifest builder: per input file, row count, row-group
+    count and on-disk bytes harvested from footers only — the census a
+    resumable run takes BEFORE reading row data (partition sizing, skew
+    detection, progress accounting).  Each file's footer is read by a
+    Ray task (``from_items`` over paths -> map_batches), so a million-file
+    corpus fans out instead of serializing on the driver."""
+    import glob
+
+    info = _transcript_corpus(sf_dir)
+    files = sorted(glob.glob(os.path.join(info["turns_dir"],
+                                          "*.parquet")))
+
+    def probe(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        names, rows_, groups = [], [], []
+        for p in t["item"].to_pylist():
+            md = pq.read_metadata(p)
+            names.append(os.path.basename(p))
+            rows_.append(md.num_rows)
+            groups.append(md.num_row_groups)
+        return pa.table({
+            "file_name": pa.array(names, pa.string()),
+            "n_rows": pa.array(rows_, pa.int64()),
+            "n_row_groups": pa.array(groups, pa.int64())})
+
+    return rd.from_items(files).map_batches(probe, batch_format="pyarrow")
