@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_check_transcript": q.schema_check_transcript,
         "rowgroup_prune_orders": q.rowgroup_prune_orders,
         "file_census_transcript": q.file_census_transcript,
+        "composition_documents": q.composition_documents,
         "transcript_role_transitions": q.transcript_role_transitions,
         "transcript_conditional": q.transcript_conditional,
     }
@@ -730,6 +731,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id, n.text FROM newbatch n
             WHERE NOT EXISTS (SELECT 1 FROM snapshot s
                               WHERE s.text = n.text)
+        """,
+        "composition_documents": r"""
+            WITH s AS (
+                SELECT coalesce(source, 'unknown') AS source,
+                       count(*) AS n_docs,
+                       CAST(sum(length(regexp_extract_all(
+                           coalesce(text, ''), '\S+'))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY coalesce(source, 'unknown')
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE)
+                         / (SELECT sum(n_tokens) FROM s), 5)
+                       AS token_share
+            FROM s
         """,
         "stopword_filter_documents": r"""
             WITH toks AS (

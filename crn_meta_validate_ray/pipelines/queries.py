@@ -3491,3 +3491,47 @@ def file_census_transcript(sf_dir: str):
             "n_row_groups": pa.array(groups, pa.int64())})
 
     return rd.from_items(files).map_batches(probe, batch_format="pyarrow")
+
+
+def composition_documents(sf_dir: str):
+    """Corpus composition report (mixture governance): per source, the
+    document count, token count and token SHARE of the whole corpus —
+    the accounting table every training-data release publishes.
+    Batch-local token-count partials fold per source; shares derive from
+    the tiny merged aggregate (|sources| rows)."""
+    from crn_meta_validate_ray.functions.text import token_count
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        src = pc.fill_null(pc.cast(t["source"], pa.string()), "unknown")
+        toks = pc.cast(token_count(t["text"]), pa.int64())
+        df = pd.DataFrame({"source": np.asarray(src.to_pandas(),
+                                                dtype=object),
+                           "n_tokens": np.asarray(toks)})
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("n_tokens", "size"),
+            n_tokens=("n_tokens", "sum")).reset_index()
+        return pa.Table.from_pydict({
+            "source": g["source"].astype(str).to_numpy(),
+            "n_docs": g["n_docs"].to_numpy(np.int64),
+            "n_tokens": g["n_tokens"].to_numpy(np.int64)})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                     Sum("n_tokens",
+                                         alias_name="n_tokens")) \
+        .take_all()  # |sources| rows — tiny by construction
+    total = sum(r["n_tokens"] for r in agg) or 1
+    agg = sorted(agg, key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in agg], pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in agg], pa.int64()),
+        "n_tokens": pa.array([int(r["n_tokens"]) for r in agg],
+                             pa.int64()),
+        "token_share": pa.array(
+            [round(r["n_tokens"] / total, 5) for r in agg], pa.float64()),
+    })
