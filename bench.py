@@ -79,6 +79,7 @@ def run_bench() -> dict:
 
     info = _corpus()
     _warm([info["turns_dir"], info["conversations"], SF_DIR])
+    calib_before = _calibrate()
 
     # spin up the Ray worker pool before timing (workers lazily import the
     # library on first task — that one-time cost is not pipeline throughput)
@@ -184,7 +185,10 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "host_calib_ms": _calibrate(),
+        # probed before AND after the suite; the max bounds the window
+        # (a burst ending just before a single post-probe would otherwise
+        # mislabel a stolen run as clean)
+        "host_calib_ms": max(calib_before, _calibrate()),
         **meta,
     }
     ray.shutdown()

@@ -3423,7 +3423,11 @@ def _rowgrouped_orders(sf_dir: str) -> str:
     if not os.path.isfile(out):
         t = pq.read_table(src, columns=["o_orderkey", "o_totalprice"])
         t = t.sort_by("o_orderkey")
-        pq.write_table(t, out, row_group_size=1000)
+        # atomic publish: a kill mid-write (or a racing process) must not
+        # leave a truncated file behind the isfile guard forever
+        tmp = f"{out}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp, row_group_size=1000)
+        os.replace(tmp, out)
     return out
 
 
@@ -3465,8 +3469,8 @@ def rowgroup_prune_orders(sf_dir: str):
 
 
 def file_census_transcript(sf_dir: str):
-    """Distributed manifest builder: per input file, row count, row-group
-    count and on-disk bytes harvested from footers only — the census a
+    """Distributed manifest builder: per input file, row count and
+    row-group count harvested from footers only — the census a
     resumable run takes BEFORE reading row data (partition sizing, skew
     detection, progress accounting).  Each file's footer is read by a
     Ray task (``from_items`` over paths -> map_batches), so a million-file
