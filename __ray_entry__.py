@@ -656,8 +656,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "props_stats_events": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       AS sum_k,
+                   -- sum(BIGINT) yields HUGEINT (float64 in pandas); cast
+                   -- back to BIGINT to match the engine's int64
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,

@@ -26,17 +26,38 @@ def to_pandas(res) -> pd.DataFrame:
     return res
 
 
+def dtype_kind(dtype) -> str:
+    """Coarse dtype family used for the strict typed comparison: the
+    driver's value hash is typed, so an engine int64 vs an oracle float64
+    (e.g. DuckDB HUGEINT from sum(BIGINT) rendered as float) MUST fail
+    here even when the values are numerically identical."""
+    s = str(dtype)
+    if s.startswith(("int", "Int", "uint", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if s.startswith(("datetime", "timestamp")):
+        return "datetime"
+    return "object"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        if df[c].dtype == object or str(df[c].dtype).startswith("string"):
+            df[c] = df[c].astype(object).astype(str)
         elif str(df[c].dtype).startswith(("float", "Float")):
             df[c] = df[c].round(6)
         elif str(df[c].dtype).startswith(("int", "Int", "uint", "UInt")):
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype) == "bool":
             df[c] = df[c].astype(bool)
+        elif str(df[c].dtype).startswith("datetime64"):
+            # unify storage unit (pyarrow→us, duckdb→ns, etc.); unit is a
+            # storage detail, not a type-kind difference
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns), kind="stable") \
         .reset_index(drop=True)
 
@@ -62,37 +83,52 @@ def main(sf_dir: str):
     n_ok = n_bad = 0
     for name, fn in qs.items():
         try:
-            got = normalize(to_pandas(fn(sf_dir)))
+            got_raw = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"ERROR  {name}: query raised {type(e).__name__}: {e}")
             n_bad += 1
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ROWS   {name}: {len(got)} rows (no oracle)")
+            print(f"ROWS   {name}: {len(got_raw)} rows (no oracle)")
             n_ok += 1
             continue
         try:
-            want = normalize(con.execute(sql).df())
+            want_raw = con.execute(sql).df()
         except Exception as e:
             print(f"ERROR  {name}: oracle raised {type(e).__name__}: {e}")
             n_bad += 1
             continue
+        got, want = normalize(got_raw), normalize(want_raw)
         if list(got.columns) != list(want.columns):
             print(f"FAIL   {name}: columns {list(got.columns)} vs "
                   f"{list(want.columns)}")
+            n_bad += 1
+            continue
+        # strict typed compare BEFORE any coercion: dtype kinds (int vs
+        # float vs object/datetime) must match between engine and oracle —
+        # the driver's value hash is typed, and astype-coercion here
+        # previously masked a HUGEINT→float64 oracle bug (VERDICT r02 #2)
+        kind_bad = [
+            (c, dtype_kind(got_raw[c].dtype), dtype_kind(want_raw[c].dtype))
+            for c in got.columns
+            if dtype_kind(got_raw[c].dtype) != dtype_kind(want_raw[c].dtype)
+        ]
+        if kind_bad:
+            print(f"FAIL   {name}: dtype-kind mismatch "
+                  + ", ".join(f"{c}: engine={g} oracle={w}"
+                              for c, g, w in kind_bad))
             n_bad += 1
             continue
         if len(got) != len(want):
             print(f"FAIL   {name}: rows {len(got)} vs {len(want)}")
             n_bad += 1
             continue
-        want2 = want.astype(got.dtypes.to_dict(), errors="ignore")
-        eq = got.equals(want2)
+        eq = got.equals(want)
         if not eq:
-            diff = (got != want2).any(axis=1)
+            diff = (got != want).any(axis=1)
             print(f"FAIL   {name}: {int(diff.sum())}/{len(got)} rows differ; "
-                  f"first:\n{got[diff].head(2)}\nvs\n{want2[diff].head(2)}")
+                  f"first:\n{got[diff].head(2)}\nvs\n{want[diff].head(2)}")
             n_bad += 1
         else:
             print(f"OK     {name}: {len(got)} rows")
