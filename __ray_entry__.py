@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed quantiles (value-counts reduction)
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
+        "approx_quantile_check_lineitem": q.approx_quantile_check_lineitem,
+        "registry_diff_documents": q.registry_diff_documents,
         # distributed scan (prefix sum) + deterministic shuffle
         "pack_documents": q.pack_documents,
         "shuffle_documents": q.shuffle_documents,
@@ -1218,6 +1220,72 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_quantity, 0.75) AS p75,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "approx_quantile_check_lineitem": """
+            -- tolerance-checked approx-quantile oracle: the engine's
+            -- within_tol is DATA-DERIVED (exact distributed rank count of
+            -- the t-digest answer, no digest self-report), so the
+            -- expected-constant rows genuinely gate the error bound
+            SELECT CAST(q AS DOUBLE) AS q, within_tol
+            FROM (VALUES (0.25, TRUE), (0.5, TRUE), (0.75, TRUE),
+                         (0.9, TRUE)) t(q, within_tol)
+        """,
+        "registry_diff_documents": """
+            WITH m AS (
+                SELECT
+                    count(*) FILTER (WHERE lang IS NULL OR lang NOT IN
+                        ('en', 'de', 'fr')) AS lang_old,
+                    count(*) FILTER (WHERE lang IS NULL OR lang NOT IN
+                        ('en', 'de', 'fr', 'es', 'zh')) AS lang_new,
+                    count(*) FILTER (WHERE source IS NULL OR NOT
+                        regexp_full_match(source, 'src[0-9]')) AS src_old,
+                    count(*) FILTER (WHERE lang IS NULL) AS lang_null,
+                    count(*) FILTER (WHERE source IS NULL) AS src_null,
+                    count(*) FILTER (WHERE n_chars IS NULL) AS nch_null,
+                    count(*) FILTER (WHERE doc_id IS NULL) AS id_null
+                FROM documents
+            )
+            SELECT * FROM (
+                -- integer/float rules on native numeric columns cannot
+                -- fail (every value parses); enum/regex counts are
+                -- data-derived above
+                SELECT 'doc_id' AS "column",
+                       CAST(NULL AS VARCHAR) AS constraint_old,
+                       'integer:doc_id' AS constraint_new,
+                       CAST(NULL AS BIGINT) AS n_invalid_old,
+                       0::BIGINT AS n_invalid_new,
+                       CAST(NULL AS BIGINT) AS n_null_old,
+                       id_null::BIGINT AS n_null_new,
+                       'absent' AS verdict_old, 'pass' AS verdict_new,
+                       'added' AS change
+                FROM m
+                UNION ALL
+                SELECT 'lang', 'enum:lang', 'enum:lang',
+                       lang_old::BIGINT, lang_new::BIGINT,
+                       lang_null::BIGINT, lang_null::BIGINT,
+                       CASE WHEN lang_old > 0 THEN 'fail' ELSE 'pass' END,
+                       CASE WHEN lang_new > 0 THEN 'fail' ELSE 'pass' END,
+                       CASE WHEN lang_old > 0 AND lang_new > 0
+                                THEN 'unchanged_fail'
+                            WHEN lang_old = 0 AND lang_new = 0
+                                THEN 'unchanged_pass'
+                            WHEN lang_old > 0 THEN 'fixed'
+                            ELSE 'broken' END
+                FROM m
+                UNION ALL
+                SELECT 'n_chars', 'integer:n_chars', 'float:n_chars',
+                       0::BIGINT, 0::BIGINT,
+                       nch_null::BIGINT, nch_null::BIGINT,
+                       'pass', 'pass', 'unchanged_pass'
+                FROM m
+                UNION ALL
+                SELECT 'source', 'regex:source', CAST(NULL AS VARCHAR),
+                       src_old::BIGINT, CAST(NULL AS BIGINT),
+                       src_null::BIGINT, CAST(NULL AS BIGINT),
+                       CASE WHEN src_old > 0 THEN 'fail' ELSE 'pass' END,
+                       'absent', 'removed'
+                FROM m
+            )
         """,
         "knn_embeddings": """
             WITH q AS (

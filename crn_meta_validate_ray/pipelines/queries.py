@@ -1016,6 +1016,44 @@ def quantiles_lineitem(sf_dir: str):
     return exact_quantiles(ds, "l_quantity", [0.25, 0.5, 0.75, 0.875])
 
 
+def approx_quantile_check_lineitem(sf_dir: str):
+    """t-digest approximate quantiles of the CONTINUOUS l_extendedprice
+    column (the scale path exact_quantiles defers to), verified by an
+    exact distributed rank count: within_tol is a data-derived statement
+    (true rank of the digest's answer within q ± 3/max_centroids), so the
+    constant-TRUE oracle genuinely gates the digest's error bound."""
+    from crn_meta_validate_ray.stages.quantile import quantile_rank_check
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_extendedprice"])
+    return quantile_rank_check(ds, "l_extendedprice",
+                               [0.25, 0.5, 0.75, 0.9])
+
+
+def registry_diff_documents(sf_dir: str):
+    """Dual-registry verdict comparison (reference old-CDE toggle,
+    app.py:865-932) in ONE scan: old registry (narrow lang vocab, source
+    regex, integer n_chars) vs new (widened vocab, source rule dropped,
+    n_chars relaxed to Float, doc_id rule added); emits per-constraint
+    deltas."""
+    from crn_meta_validate_ray.pipelines.validate_pipeline import \
+        compare_verdicts
+    from crn_meta_validate_ray.registry import FieldRule, TableRules
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    old = TableRules(table="documents", locator=("doc_id",), fields=[
+        FieldRule("lang", "Required", "Enum", ["en", "de", "fr"]),
+        FieldRule("source", "Required", "Regex", "src[0-9]"),
+        FieldRule("n_chars", "Required", "Integer"),
+    ])
+    new = TableRules(table="documents", locator=("doc_id",), fields=[
+        FieldRule("lang", "Required", "Enum",
+                  ["en", "de", "fr", "es", "zh"]),
+        FieldRule("n_chars", "Required", "Float"),
+        FieldRule("doc_id", "Required", "Integer"),
+    ])
+    return compare_verdicts(ds, old, new)
+
+
 def tumbling_events(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"),
                          columns=["ts", "event_type", "value"])

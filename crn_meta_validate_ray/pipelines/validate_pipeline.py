@@ -699,6 +699,114 @@ def validate_dataset(
                                  "violation_counts": counts, **extras})
 
 
+def compare_verdicts(ds: "rd.Dataset", rules_old: TableRules,
+                     rules_new: TableRules,
+                     names: tuple[str, str] = ("old", "new"),
+                     batch_size: int | None = 8192) -> pa.Table:
+    """Per-constraint verdict deltas between two registry versions over ONE
+    shared scan of the input (the reference's old-CDE toggle re-validates
+    the whole table per version, app.py:865-932; here both compiled kernel
+    sets run on the same zero-copy batch, so the wide input is read once).
+
+    Returns one row per column that either version has a rule for:
+    ``(column, constraint_old, constraint_new, n_invalid_old,
+    n_invalid_new, n_null_old, n_null_new, verdict_old, verdict_new,
+    change)`` with ``change`` ∈ {unchanged_pass, unchanged_fail, fixed,
+    broken, added, removed}.  Scale: only colstat partials leave the scan
+    (≤ 2×|rules| rows per batch, no violation rows); a batch-local combine
+    collapses them 64k-at-a-time before a tiny driver fold."""
+    validators = [
+        BatchValidator(rules_old, emit_violations=False),
+        BatchValidator(rules_new, emit_violations=False),
+    ]
+
+    def dual(batch: pa.Table) -> pa.Table:
+        parts = []
+        for name, v in zip(names, validators):
+            t = v(batch)
+            parts.append(t.append_column(
+                "version", pa.array([name] * t.num_rows, type=pa.string())))
+        return pa.concat_tables(parts)
+
+    keep = ["version", "column", "constraint_id", "n_rows", "n_null",
+            "n_invalid"]
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = (df.groupby(["version", "column", "constraint_id"],
+                          sort=False, as_index=False)
+               [["n_rows", "n_null", "n_invalid"]].sum())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = (ds.map_batches(dual, batch_format="pyarrow",
+                               batch_size=batch_size, zero_copy_batch=True)
+                .filter(expr="kind == 'colstat'")
+                .select_columns(keep)
+                .map_batches(combine, batch_format="pyarrow",
+                             batch_size=65536))
+    import pandas as pd
+    folded = (partials.to_pandas()
+              .groupby(["version", "column", "constraint_id"],
+                       as_index=False)[["n_rows", "n_null", "n_invalid"]]
+              .sum())
+
+    per_version = {
+        name: folded[folded["version"] == name]
+        .set_index("column") for name in names}
+    # the column universe comes from the RULE SETS, not the folded stream:
+    # a rule whose column is missing from the data emits no colstat (it is
+    # a schema-level verdict) but must still appear in the delta
+    ruled = {names[0]: {r.field: r for r in rules_old.active_fields()},
+             names[1]: {r.field: r for r in rules_new.active_fields()}}
+    columns = sorted(set(ruled[names[0]]) | set(ruled[names[1]]))
+    rows = []
+    for col in columns:
+        sides = []
+        for name in names:
+            rule = ruled[name].get(col)
+            if rule is None:
+                sides.append(None)  # no rule in this version
+                continue
+            pv = per_version[name]
+            if col in pv.index:
+                r = pv.loc[col]
+                sides.append((str(r["constraint_id"]),
+                              int(r["n_invalid"]), int(r["n_null"]),
+                              "fail" if int(r["n_invalid"]) else "pass"))
+            else:  # ruled but absent from the data: schema-level failure
+                sides.append((rule.constraint_id, None, None, "missing"))
+        old, new = sides
+        if old is None:
+            change = "added"
+        elif new is None:
+            change = "removed"
+        else:
+            o_fail, n_fail = old[3] != "pass", new[3] != "pass"
+            change = ("unchanged_fail" if o_fail and n_fail else
+                      "unchanged_pass" if not o_fail and not n_fail else
+                      "fixed" if o_fail else "broken")
+        rows.append({
+            "column": col,
+            "constraint_old": old[0] if old else None,
+            "constraint_new": new[0] if new else None,
+            "n_invalid_old": old[1] if old else None,
+            "n_invalid_new": new[1] if new else None,
+            "n_null_old": old[2] if old else None,
+            "n_null_new": new[2] if new else None,
+            "verdict_old": old[3] if old else "absent",
+            "verdict_new": new[3] if new else "absent",
+            "change": change,
+        })
+    schema = pa.schema([
+        ("column", pa.string()), ("constraint_old", pa.string()),
+        ("constraint_new", pa.string()), ("n_invalid_old", pa.int64()),
+        ("n_invalid_new", pa.int64()), ("n_null_old", pa.int64()),
+        ("n_null_new", pa.int64()), ("verdict_old", pa.string()),
+        ("verdict_new", pa.string()), ("change", pa.string()),
+    ])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def validate_against_versions(ds: "rd.Dataset",
                               versions: "dict[str, TableRules]",
                               **kwargs) -> dict:

@@ -23,6 +23,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count
@@ -49,3 +50,88 @@ def exact_quantiles(ds: "rd.Dataset", col: str,
         out_v.append(float(vals[idx]))
     return pa.table({"q": pa.array(out_q, type=pa.float64()),
                      "value": pa.array(out_v, type=pa.float64())})
+
+
+def approx_quantiles(ds: "rd.Dataset", col: str, qs: list[float],
+                     max_centroids: int = 200) -> pa.Table:
+    """Approximate quantiles of a continuous column via merging t-digests
+    (the scale path `exact_quantiles` defers to for unbounded-cardinality
+    columns): every block folds into ONE ~`max_centroids`-centroid digest
+    inside ``map_batches``, a second merge stage collapses digests
+    1024-at-a-time, and the driver folds only the surviving handful —
+    data moved is O(blocks × max_centroids) floats regardless of input
+    size.  Returns an Arrow table (q, value) with interpolated
+    (quantile_cont-style) values; rank error is ~O(1/max_centroids) at
+    the median and tighter at the tails (arcsin scale)."""
+    from ..state.sketches import TDigest
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        td = TDigest(max_centroids)
+        vals = pc.drop_null(batch.column(col)).cast(pa.float64())
+        td.update(vals.to_numpy(zero_copy_only=False))
+        return pa.table({"digest": pa.array([td.to_bytes()],
+                                            type=pa.binary())})
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        td = TDigest(max_centroids)
+        for d in batch.column("digest"):
+            td.merge(TDigest.from_bytes(d.as_py()))
+        return pa.table({"digest": pa.array([td.to_bytes()],
+                                            type=pa.binary())})
+
+    parts = (ds.select_columns([col])
+             .map_batches(_partial, batch_format="pyarrow")
+             .map_batches(_merge, batch_format="pyarrow", batch_size=1024))
+    td = TDigest(max_centroids)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for d in b.column("digest"):
+            td.merge(TDigest.from_bytes(d.as_py()))
+    out_q = [float(q) for q in qs]
+    out_v = [td.quantile(q) if td.count else None for q in out_q]
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.float64())})
+
+
+def quantile_rank_check(ds: "rd.Dataset", col: str, qs: list[float],
+                        max_centroids: int = 200,
+                        tol: float | None = None) -> pa.Table:
+    """Tolerance-checked verdict for ``approx_quantiles``: for each q,
+    re-derive the TRUE rank fraction of the digest's answer by an exact
+    distributed count (rows strictly below / at-or-below the value — one
+    extra narrow pass, no digest involved) and assert the requested q
+    falls inside that interval widened by ``tol``.  Output (q, within_tol)
+    is hash-comparable against a constant-TRUE oracle because within_tol
+    is a data-derived exact statement, not a digest self-report."""
+    tol = tol if tol is not None else 3.0 / max_centroids
+    approx = approx_quantiles(ds, col, qs, max_centroids)
+    vals = approx.column("value").to_pylist()
+    narrow = ds.select_columns([col])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        arr = pc.drop_null(batch.column(col)).cast(pa.float64())
+        v = arr.to_numpy(zero_copy_only=False)
+        lo = [int((v < x).sum()) if x is not None else 0 for x in vals]
+        hi = [int((v <= x).sum()) if x is not None else 0 for x in vals]
+        return pa.table({
+            "lo": pa.array([lo], type=pa.list_(pa.int64())),
+            "hi": pa.array([hi], type=pa.list_(pa.int64())),
+            "n": pa.array([len(v)], type=pa.int64()),
+        })
+
+    lo = np.zeros(len(vals), dtype=np.int64)
+    hi = np.zeros(len(vals), dtype=np.int64)
+    n = 0
+    for b in narrow.map_batches(_counts, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            lo += np.asarray(row["lo"], dtype=np.int64)
+            hi += np.asarray(row["hi"], dtype=np.int64)
+            n += row["n"]
+    ok = []
+    for q, l, h, v in zip(approx.column("q").to_pylist(), lo, hi, vals):
+        if v is None or n == 0:
+            ok.append(False)
+            continue
+        ok.append(l / n - tol <= q <= h / n + tol)
+    return pa.table({"q": approx.column("q"),
+                     "within_tol": pa.array(ok, type=pa.bool_())})

@@ -8,8 +8,9 @@
   buckets co-locate similar vectors, top-k runs within buckets (recall
   traded for a shuffle of (bucket, id, vec) instead of an all-pairs scan);
 - **embedding cosine near-duplicate pairs** — all pairs with cosine ≥
-  threshold, via the same broadcast pattern (reference matrix must fit in
-  the object store; at larger scale chunk the reference side and union).
+  threshold; ``mode='auto'`` routes between the exact broadcast pattern
+  (small side: row-count AND matrix-byte budgets both satisfied) and the
+  bucketed-LSH scale path through one API.
 """
 
 from __future__ import annotations
@@ -242,7 +243,11 @@ def _build_ref_matrix(vec_col: str, id_col: str, *tbls):
     return full, all_ids
 
 
-NEAR_DUP_SMALL_N = 200_000  # broadcast guard: N×D×4B must fit one worker
+NEAR_DUP_SMALL_N = 200_000  # broadcast guard: O(N²) verify compute bound
+# broadcast guard #2: the normalized reference matrix (N×D float32) lives
+# in the object store and is mapped zero-copy by every worker — cap its
+# size so it cannot crowd out the streaming blocks' share of plasma
+NEAR_DUP_BYTE_BUDGET = 2 << 30
 
 
 def _near_dup_broadcast(narrow: "rd.Dataset", threshold: float,
@@ -370,20 +375,30 @@ def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
                              vec_col: str = "embedding",
                              mode: str = "auto",
                              small_n_guard: int = NEAR_DUP_SMALL_N,
+                             byte_budget: int = NEAR_DUP_BYTE_BUDGET,
                              n_planes: int = 8, n_tables: int = 6,
                              seed: int = 11,
                              max_bucket: int = 4096) -> "rd.Dataset":
     """All pairs (id_a < id_b) with cosine ≥ threshold.
 
-    ``mode='auto'`` picks the EXACT broadcast path while ``count() <=
-    small_n_guard`` (reference matrix assembled by a Ray task in the object
-    store — never on the driver) and otherwise the bucketed LSH path
+    ``mode='auto'`` picks the EXACT broadcast path only while BOTH guards
+    hold — ``count() <= small_n_guard`` (O(N²) verify compute) AND the
+    estimated reference-matrix footprint ``count() × dim × 4 B <=
+    byte_budget`` (the matrix is assembled by a Ray task in the object
+    store — never on the driver — and must not crowd out the streaming
+    blocks' plasma share); otherwise it routes to the bucketed LSH path
     (``_near_dup_lsh``): multi-table hyperplane buckets + exact in-bucket
     cosine verify, no whole-dataset materialization, recall documented on
     the stage.  Force a path with ``mode='broadcast'`` / ``mode='lsh'``."""
     narrow = ds.select_columns([id_col, vec_col])
     if mode == "auto":
-        mode = "broadcast" if narrow.count() <= small_n_guard else "lsh"
+        n = narrow.count()
+        if n <= small_n_guard:
+            first = narrow.take(1)
+            dim = len(first[0][vec_col]) if first else 0
+            mode = "broadcast" if n * dim * 4 <= byte_budget else "lsh"
+        else:
+            mode = "lsh"
     if mode == "broadcast":
         return _near_dup_broadcast(narrow, threshold, id_col, vec_col)
     return _near_dup_lsh(narrow, threshold, id_col, vec_col,

@@ -1,0 +1,168 @@
+"""Round-3 operators: t-digest approximate quantiles, single-scan
+dual-registry verdict comparison, near-dup broadcast byte budget."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+# ---------------------------------------------------------------- quantiles
+
+def test_approx_quantiles_error_bound(ray_session):
+    """t-digest quantiles of a continuous column: rank error of every
+    answer ≤ 3/max_centroids vs the exact empirical distribution."""
+    from crn_meta_validate_ray.stages.quantile import approx_quantiles
+
+    rng = np.random.default_rng(7)
+    # lognormal = skewed continuous, the case exact_quantiles can't take
+    vals = rng.lognormal(mean=1.0, sigma=1.2, size=200_000)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = approx_quantiles(ds, "v", qs, max_centroids=200).to_pydict()
+    svals = np.sort(vals)
+    for q, v in zip(got["q"], got["value"]):
+        true_rank = np.searchsorted(svals, v) / len(svals)
+        assert abs(true_rank - q) <= 3.0 / 200, (q, v, true_rank)
+
+
+def test_approx_quantiles_nulls_and_empty(ray_session):
+    from crn_meta_validate_ray.stages.quantile import approx_quantiles
+
+    ds = rd.from_arrow(pa.table(
+        {"v": pa.array([1.0, None, 3.0, None, 2.0], type=pa.float64())}))
+    got = approx_quantiles(ds, "v", [0.5]).to_pydict()
+    assert got["value"][0] == pytest.approx(2.0, abs=0.5)
+    empty = rd.from_arrow(pa.table(
+        {"v": pa.array([], type=pa.float64())}))
+    got = approx_quantiles(empty, "v", [0.5]).to_pydict()
+    assert got["value"][0] is None
+
+
+def test_quantile_rank_check_within_tol(ray_session):
+    from crn_meta_validate_ray.stages.quantile import quantile_rank_check
+
+    rng = np.random.default_rng(11)
+    ds = rd.from_arrow(pa.table(
+        {"v": rng.standard_normal(50_000)})).repartition(4)
+    got = quantile_rank_check(ds, "v", [0.1, 0.5, 0.9]).to_pydict()
+    assert got["within_tol"] == [True, True, True]
+
+
+def test_quantile_rank_check_heavy_ties(ray_session):
+    """Discrete column with mass points: the [rank_lo, rank_hi] interval
+    (not a point rank) is what makes the check pass on ties."""
+    from crn_meta_validate_ray.stages.quantile import quantile_rank_check
+
+    vals = np.repeat([1.0, 2.0, 3.0], [5000, 90000, 5000])
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(4)
+    got = quantile_rank_check(ds, "v", [0.25, 0.5, 0.75]).to_pydict()
+    assert got["within_tol"] == [True, True, True]
+
+
+# -------------------------------------------------- dual-registry comparison
+
+def _mk_docs_table() -> pa.Table:
+    # no nulls in lang: null-like normalizes to the "NA" sentinel, which
+    # fails an Enum whose vocab omits it (reference null model) — this
+    # fixture isolates the vocab-widening delta instead
+    langs = ["en", "fr", "de", "xx", "en"] * 20
+    ids = [f"d{i:04d}" for i in range(100)]
+    scores = [str(i % 7) for i in range(100)]
+    return pa.table({"doc_id": ids, "lang": langs, "score": scores})
+
+
+def test_compare_verdicts_deltas(ray_session):
+    from crn_meta_validate_ray.pipelines.validate_pipeline import \
+        compare_verdicts
+    from crn_meta_validate_ray.registry import FieldRule, TableRules
+
+    ds = rd.from_arrow(_mk_docs_table()).repartition(3)
+    old = TableRules(table="docs", locator=("doc_id",), fields=[
+        FieldRule("doc_id", "Required", "String"),
+        # old vocab misses 'xx' -> fails
+        FieldRule("lang", "Optional", "Enum", ["en", "fr", "de"]),
+        FieldRule("score", "Required", "Integer"),
+    ])
+    new = TableRules(table="docs", locator=("doc_id",), fields=[
+        FieldRule("doc_id", "Required", "String"),
+        # new vocab includes 'xx' -> fixed
+        FieldRule("lang", "Optional", "Enum", ["en", "fr", "de", "xx"]),
+        # new regex constraint -> broken (ids are d0000..)
+        FieldRule("doc_id2", "Required", "String"),  # added rule
+    ])
+    delta = compare_verdicts(ds, old, new).to_pylist()
+    by_col = {r["column"]: r for r in delta}
+    assert by_col["lang"]["change"] == "fixed"
+    assert by_col["lang"]["n_invalid_old"] == 20
+    assert by_col["lang"]["n_invalid_new"] == 0
+    assert by_col["score"]["change"] == "removed"
+    assert by_col["score"]["verdict_new"] == "absent"
+    assert by_col["doc_id2"]["change"] == "added"
+    assert by_col["doc_id"]["change"] == "unchanged_pass"
+
+
+def test_compare_verdicts_matches_two_full_runs(ray_session):
+    """The single-scan comparison must agree with two independent
+    validate_dataset runs on per-constraint invalid counts."""
+    from crn_meta_validate_ray.pipelines.validate_pipeline import (
+        compare_verdicts, validate_dataset)
+    from crn_meta_validate_ray.registry import FieldRule, TableRules
+
+    ds = rd.from_arrow(_mk_docs_table()).repartition(3)
+    old = TableRules(table="docs", locator=("doc_id",), fields=[
+        FieldRule("lang", "Required", "Enum", ["en", "fr"]),
+        FieldRule("score", "Required", "Integer"),
+    ])
+    new = TableRules(table="docs", locator=("doc_id",), fields=[
+        FieldRule("lang", "Required", "Enum", ["en", "fr", "de", "xx"]),
+        FieldRule("score", "Required", "Float"),
+    ])
+    delta = {r["column"]: r for r in compare_verdicts(ds, old, new)
+             .to_pylist()}
+    for name, rules in (("old", old), ("new", new)):
+        run = validate_dataset(ds, rules)
+        for col, cs in run.colstats.items():
+            assert delta[col][f"n_invalid_{name}"] == cs.n_invalid, \
+                (name, col)
+
+
+# ------------------------------------------------- near-dup path auto-switch
+
+def _embed_ds(n=60, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    base[n - 1] = base[0] * 3.0  # parallel pair => cosine 1
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(base.tolist(), type=pa.list_(pa.float32())),
+    }))
+
+
+def test_near_dup_auto_byte_budget(ray_session, monkeypatch):
+    """mode='auto' must route to LSH when the reference matrix would
+    exceed the object-store byte budget, even under the row-count guard;
+    and to broadcast when both guards hold."""
+    import crn_meta_validate_ray.stages.similarity as sim
+
+    ds = _embed_ds()
+
+    def boom(*a, **k):
+        raise AssertionError("wrong path chosen")
+
+    # tiny byte budget -> broadcast must NOT be used
+    monkeypatch.setattr(sim, "_near_dup_broadcast", boom)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in sim.embedding_near_dup_pairs(
+                 ds, threshold=0.99, byte_budget=8,
+                 n_tables=8).take_all()}
+    assert (0, 59) in pairs
+    monkeypatch.undo()
+
+    # default budgets -> LSH must NOT be used
+    monkeypatch.setattr(sim, "_near_dup_lsh", boom)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in sim.embedding_near_dup_pairs(
+                 ds, threshold=0.99).take_all()}
+    assert (0, 59) in pairs
