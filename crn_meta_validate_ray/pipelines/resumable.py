@@ -41,7 +41,6 @@ from crn_meta_validate_ray.registry import ConstraintSet, TableRules
 from crn_meta_validate_ray.report import ReportCollector, compose_validation_report
 from crn_meta_validate_ray.stages.groupcheck import group_check_findings
 from crn_meta_validate_ray.stages.refcheck import referential_findings
-from crn_meta_validate_ray.pipelines.transcripts import sketch_findings
 from crn_meta_validate_ray.pipelines.validate_pipeline import (
     ValidationRun,
     build_eval_result,
@@ -80,6 +79,7 @@ def run_resumable(
     salt_every: int = 65536,
     max_partitions: int | None = None,
     files_per_partition: int = 1,
+    partition_concurrency: int = 2,
 ) -> ValidationRun | None:
     """Execute (or resume) a partitioned validation run.  Returns the merged
     ValidationRun, or None when ``max_partitions`` stopped the run early
@@ -89,7 +89,15 @@ def run_resumable(
     (file group) is one Dataset run with its own committed manifest.  Size
     it so one partition is a few minutes of work — per-partition fixed
     overhead (~seconds) must stay small relative to its compute, while a
-    retry after a kill only repeats one partition."""
+    retry after a kill only repeats one partition.
+
+    ``partition_concurrency`` partitions run as concurrent Dataset jobs
+    (worker threads): one partition's parquet sink + manifest fold then
+    overlaps the next partition's compute instead of serializing the
+    per-partition fixed cost.  Partitions are independent resume units, so
+    interleaved commits are safe; under ``max_partitions`` (kill
+    simulation) the loop stays serial so the killed state matches a
+    process that died mid-loop."""
     files = _list_parquet_files(turns_path)
     cs_hash = ConstraintSet().add(rules).content_hash()
     store = ManifestStore(os.path.join(out_dir, "manifests"))
@@ -123,44 +131,99 @@ def run_resumable(
     # atomically, not to start after the partitions.  Under max_partitions
     # (simulated kill) it stays serial so the killed state matches a
     # process that died mid-loop.
+    # broadcast referential check FUSED into the per-cell pass (the
+    # one-shot pipeline's shape): membership is per-row, so it partitions
+    # cleanly — per-partition ref violations land in that partition's
+    # findings/manifest and merge_run sums them.  The sorted distinct-key
+    # build runs once as Ray tasks shared by every partition (on resume it
+    # is rebuilt — cheap relative to partition work).  A too-big target
+    # side falls back to the group phase's shuffle anti-join (the only
+    # non-partitionable form).
+    ref_rules_keys = None
+    ref_in_group_phase = False
+    if conversations_path and rules.references:
+        import ray
+
+        from crn_meta_validate_ray.pipelines.transcripts import (
+            _merge_sorted_keys, _ref_key_shards, _shard_distinct_keys)
+        ref = rules.references[0]
+        n_target = rd.read_parquet(
+            conversations_path, columns=[ref.target_column]).count()
+        if n_target <= 2_000_000:
+            shard = ray.remote(num_cpus=1)(_shard_distinct_keys)
+            merge = ray.remote(num_cpus=1)(_merge_sorted_keys)
+            parts = [shard.remote(f, rgs, ref.target_column)
+                     for f, rgs in _ref_key_shards(conversations_path)]
+            ref_rules_keys = [(ref, merge.remote(*parts))]
+        else:
+            ref_in_group_phase = True
+
     gpid = "_groupcheck"
+    gc_conversations = conversations_path if ref_in_group_phase else None
     gc_future = gc_executor = None
     if max_partitions is None and not store.is_valid(gpid, files, cs_hash):
         from concurrent.futures import ThreadPoolExecutor
         gc_executor = ThreadPoolExecutor(max_workers=1)
         gc_future = gc_executor.submit(
             _run_group_phase, store, gpid, files, cs_hash, out_dir, rules,
-            conversations_path, salt_every)
+            gc_conversations, salt_every)
+
+    # sketch stage FUSED into the per-cell pass (same hll/cm coverage the
+    # stand-alone SketchStage had): one full-width read per partition
+    # instead of a second narrow read + actor-pool spin-up
+    hll_keys = [u.columns for u in rules.unique] or (
+        [rules.locator] if rules.locator else [])
+    cm_cols = [r.field for r in rules.active_fields()
+               if r.datatype == "Enum" and not r.allow_multi]
+    sketch_spec = (hll_keys, cm_cols) if (hll_keys or cm_cols) else None
+
+    def _run_partition(pid: str, group: list[str]) -> None:
+        part_dir = os.path.join(out_dir, "partitions", pid)
+        ds = rd.read_parquet(group)
+        run = validate_dataset(ds, cell_rules, mode="write",
+                               out_dir=part_dir, batch_size=batch_size,
+                               include_details=False,
+                               sketch_spec=sketch_spec,
+                               ref_rules_keys=ref_rules_keys)
+        store.commit(pid, {
+            "input_files": sorted(group),
+            "input_bytes": sum(os.path.getsize(f) for f in group),
+            "constraint_hash": cs_hash,
+            "n_rows": run.n_rows,
+            "schema_names": list(ds.schema().names),
+            "colstats": colstats_to_json(run.colstats),
+            "violation_counts": run.extras["violation_counts"],
+            "sketches": sketches_to_json(run.extras["sketches"]),
+            "findings_path": run.findings_path,
+        })
 
     done = 0
     try:
-        for pid, group in pids.items():
-            if store.is_valid(pid, group, cs_hash):
-                continue
-            if max_partitions is not None and done >= max_partitions:
-                return None
-            part_dir = os.path.join(out_dir, "partitions", pid)
-            ds = rd.read_parquet(group)
-            extra = []
-            sk = sketch_findings(ds, rules)
-            if sk is not None:
-                extra.append(sk)
-            run = validate_dataset(ds, cell_rules, mode="write",
-                                   out_dir=part_dir, batch_size=batch_size,
-                                   extra_findings=extra,
-                                   include_details=False)
-            store.commit(pid, {
-                "input_files": sorted(group),
-                "input_bytes": sum(os.path.getsize(f) for f in group),
-                "constraint_hash": cs_hash,
-                "n_rows": run.n_rows,
-                "schema_names": list(ds.schema().names),
-                "colstats": colstats_to_json(run.colstats),
-                "violation_counts": run.extras["violation_counts"],
-                "sketches": sketches_to_json(run.extras["sketches"]),
-                "findings_path": run.findings_path,
-            })
-            done += 1
+        pending = [(pid, group) for pid, group in pids.items()
+                   if not store.is_valid(pid, group, cs_hash)]
+        if max_partitions is not None:
+            # serial kill-simulation path: commit order == loop order
+            for pid, group in pending:
+                if done >= max_partitions:
+                    return None
+                _run_partition(pid, group)
+                done += 1
+        elif pending:
+            from concurrent.futures import (FIRST_EXCEPTION,
+                                            ThreadPoolExecutor, wait)
+            workers = max(1, min(partition_concurrency, len(pending)))
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                futs = [ex.submit(_run_partition, pid, group)
+                        for pid, group in pending]
+                wait(futs, return_when=FIRST_EXCEPTION)
+                for f in futs:
+                    f.cancel()  # never-started tasks die on first failure
+            # with-exit joined every running future; surface the first
+            # failure (cancelled = never ran, nothing to surface)
+            for f in futs:
+                if not f.cancelled():
+                    f.result()
+            done = len(pending)
     except BaseException:
         # a partition failure must propagate NOW, not after the overlapped
         # group phase drains; the running future cannot be interrupted but
@@ -180,7 +243,7 @@ def run_resumable(
         if max_partitions is not None and done >= max_partitions:
             return None
         _run_group_phase(store, gpid, files, cs_hash, out_dir, rules,
-                         conversations_path, salt_every)
+                         gc_conversations, salt_every)
 
     return merge_run(out_dir, rules)
 
@@ -222,16 +285,19 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
         merged = findings[0]
         for f2 in findings[1:]:
             merged = merged.union(f2)
+        # materialize once (the group findings stream is small: violation
+        # rows + drift-sketch partials), then persist AND fold from the
+        # same plasma blocks — no disk read-back jobs on the critical path
+        mat = merged.materialize()
         fp = os.path.join(gc_dir, "findings")
         import shutil
         shutil.rmtree(fp + ".tmp", ignore_errors=True)
-        merged.write_parquet(fp + ".tmp", partition_cols=["kind"])
+        mat.write_parquet(fp + ".tmp", partition_cols=["kind"])
         shutil.rmtree(fp, ignore_errors=True)
         os.replace(fp + ".tmp", fp)
-        all_f = rd.read_parquet(fp)
-        counts = violation_counts(all_f.filter(expr="kind == 'violation'"))
+        counts = violation_counts(mat.filter(expr="kind == 'violation'"))
         sketches_json = sketches_to_json(merge_sketches_driver(
-            all_f.filter(expr="kind == 'sketch'")))
+            mat.filter(expr="kind == 'sketch'")))
     store.commit(gpid, {
         "input_files": sorted(files),
         "constraint_hash": cs_hash,

@@ -467,43 +467,6 @@ def _read_kind(findings_path: str, kind: str) -> "rd.Dataset":
                           zero_copy_batch=True)
 
 
-def _fold_write_mode(findings_path: str, rules: TableRules, sample_k: int):
-    """Write-mode merge: stream only the small colstat/sketch partitions to
-    the driver; violation counts come from a worker-side value_counts over
-    the column-pruned violation partition."""
-    import pyarrow.compute as _pc
-
-    fixed = []
-    for kind in ("colstat", "sketch"):
-        sub = os.path.join(findings_path, f"kind={kind}")
-        if not os.path.isdir(sub):
-            continue
-        for t in rd.read_parquet(sub).iter_batches(batch_size=1 << 16,
-                                                   batch_format="pyarrow"):
-            if "kind" not in t.column_names:
-                # the hive-partitioned write moved `kind` into the dir name
-                t = t.append_column(
-                    "kind", pa.array([kind] * t.num_rows, type=pa.string()))
-            fixed.append(t)
-    colstats, counts, sketches = fold_findings(iter(fixed), rules, sample_k)
-
-    vio_sub = os.path.join(findings_path, "kind=violation")
-    if os.path.isdir(vio_sub):
-        vio = rd.read_parquet(vio_sub, columns=["constraint_id"])
-
-        def vc(t: pa.Table) -> pa.Table:
-            out = _pc.value_counts(t["constraint_id"].combine_chunks())
-            return pa.table({"constraint_id": out.field("values"),
-                             "n": out.field("counts")})
-
-        for b in vio.map_batches(vc, batch_format="pyarrow").iter_batches(
-                batch_size=1 << 16, batch_format="pyarrow"):
-            for row in b.to_pylist():
-                counts[row["constraint_id"]] = counts.get(
-                    row["constraint_id"], 0) + int(row["n"])
-    return colstats, counts, sketches
-
-
 def violation_counts(violations: "rd.Dataset") -> dict[str, int]:
     """Count violation rows per constraint_id — a streaming driver-side fold
     over per-batch value_counts (violations are the small output stream; a
@@ -628,51 +591,47 @@ def validate_dataset(
     ready = [e for e in extras_in if not callable(e)]
 
     findings_path = None
+    if mode == "write" and not out_dir:
+        raise ValueError("mode='write' requires out_dir")
+    if thunks:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+            futures = [ex.submit(t) for t in thunks]
+            mat = findings.materialize()
+            for f in futures:
+                out = f.result()
+                if out is not None:
+                    ready.append(out)
+    else:
+        mat = findings.materialize()
+    # distributed pre-fold: chunk-level combine on the cluster so the
+    # serial driver fold sees a few summary rows per chunk, not every
+    # violation/partial row; the extras' blocks are folded directly —
+    # no union+materialize barrier re-registering every block
+    colstats, counts, sketches = fold_findings(
+        iter(prefold_distributed(mat, *ready)), rules, sample_k)
+    all_f = mat
+    for extra in ready:
+        all_f = all_f.union(extra)
     if mode == "write":
-        if not out_dir:
-            raise ValueError("mode='write' requires out_dir")
-        for t in thunks:
-            out = t()
-            if out is not None:
-                ready.append(out)
-        for extra in ready:
-            findings = findings.union(extra)
-        findings_path = os.path.join(out_dir, "findings")
-        # write to a fresh temp dir then swap — a retried/rewritten partition
-        # must not append to (and double-count) a previous attempt's files
+        # persist the findings stream FROM THE MATERIALIZED BLOCKS (plasma
+        # → disk; no recompute, and the verdict fold above never re-reads
+        # what was just written — the old shape paid 3 extra read-back
+        # jobs per partition).  Write to a fresh temp dir then swap — a
+        # retried/rewritten partition must not append to (and
+        # double-count) a previous attempt's files.
         import shutil
+        findings_path = os.path.join(out_dir, "findings")
         tmp_path = findings_path + ".tmp"
         shutil.rmtree(tmp_path, ignore_errors=True)
-        findings.write_parquet(tmp_path, partition_cols=["kind"])
+        all_f.write_parquet(tmp_path, partition_cols=["kind"])
         shutil.rmtree(findings_path, ignore_errors=True)
         os.replace(tmp_path, findings_path)
-        # hive layout by kind → read only the small partitions for merging;
-        # the (possibly huge) violation partition is touched column-pruned
-        colstats, counts, sketches = _fold_write_mode(findings_path, rules,
-                                                      sample_k)
+        # downstream readers consume the PERSISTED violations (disk state,
+        # valid after this process exits), not the in-memory stream
         violations = _read_kind(findings_path, "violation")
     else:
-        if thunks:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
-                futures = [ex.submit(t) for t in thunks]
-                mat = findings.materialize()
-                for f in futures:
-                    out = f.result()
-                    if out is not None:
-                        ready.append(out)
-        else:
-            mat = findings.materialize()
-        # distributed pre-fold: chunk-level combine on the cluster so the
-        # serial driver fold sees a few summary rows per chunk, not every
-        # violation/partial row; the extras' blocks are folded directly —
-        # no union+materialize barrier re-registering every block
-        colstats, counts, sketches = fold_findings(
-            iter(prefold_distributed(mat, *ready)), rules, sample_k)
-        all_f = mat
-        for extra in ready:
-            all_f = all_f.union(extra)
         violations = all_f.filter(expr="kind == 'violation'")
 
     n_rows = max((cs.n_rows for cs in colstats.values()), default=0)
