@@ -30,8 +30,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from crn_meta_validate_ray.functions.nulls import normalize_null_like
-from crn_meta_validate_ray.registry import NULL_SENTINEL, FieldRule
+from crn_meta_validate_ray.functions.nulls import (missing_mask,
+                                                   normalize_null_like)
+from crn_meta_validate_ray.registry import (NULL_LIKE_TOKENS, NULL_SENTINEL,
+                                            FieldRule)
 
 # Arrow strptime has no %f — fractional seconds are stripped before parsing.
 # The strip is anchored to a trailing fraction after a seconds field
@@ -57,6 +59,53 @@ def _to_bool_np(mask: pa.Array | pa.ChunkedArray, default: bool = False) -> np.n
     return np.asarray(_combine(m))
 
 
+_NULL_LIKE_PLUS_SENTINEL = pa.array(
+    sorted(set(NULL_LIKE_TOKENS) | {NULL_SENTINEL}), type=pa.string())
+
+
+def null_like_mask(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """True where the cell NORMALIZES to the sentinel (true-null, blank,
+    null-like token, or the literal sentinel) — the null census and the
+    branch predicate of the materialization-free check fast paths, computed
+    without building the normalized string copy."""
+    tok = pc.is_in(col, value_set=_NULL_LIKE_PLUS_SENTINEL)
+    return _to_bool_np(pc.or_kleene(missing_mask(col),
+                                    pc.fill_null(tok, False)))
+
+
+class _LazyNormTake:
+    """Deferred normalized-string view: the reference reports violation
+    VALUES post-normalization, but materializing a normalized copy of
+    every batch just for the (rare) invalid rows dominates clean-batch
+    cost — so the fast-path kernels return this handle and the caller
+    materializes only the rows it reports."""
+
+    def __init__(self, col: pa.Array, nl: np.ndarray):
+        self._col = col
+        self._nl = nl
+
+    def take_pylist(self, idx: np.ndarray) -> list:
+        if len(idx) > 2048:  # degenerate batch: vectorized full normalize
+            s = _combine(normalize_null_like(self._col))
+            return pc.take(s, pa.array(idx)).to_pylist()
+        sub = pc.cast(pc.take(self._col, pa.array(idx)),
+                      pa.string()).to_pylist()
+        nl = self._nl[idx]
+        return [NULL_SENTINEL if m else v for m, v in zip(nl, sub)]
+
+
+def take_strvals(strvals, col, invalid_idx: np.ndarray) -> list:
+    """Violation values at ``invalid_idx`` from whatever the kernel
+    returned: a lazy handle, a materialized normalized array, or None
+    (native typed column — cast the raw values)."""
+    if strvals is None:
+        return pc.cast(pc.take(_combine(col), pa.array(invalid_idx)),
+                       pa.string()).to_pylist()
+    if isinstance(strvals, _LazyNormTake):
+        return strvals.take_pylist(invalid_idx)
+    return pc.take(strvals, pa.array(invalid_idx)).to_pylist()
+
+
 class CompiledFieldRule:
     """A FieldRule compiled to vectorized batch kernels.
 
@@ -80,6 +129,9 @@ class CompiledFieldRule:
             # sentinel (utils/validate_core.py:272).
             single = set(vocab) | set(str(f) for f in rule.fillnull)
             self._single_accept = pa.array(sorted(single), type=pa.string())
+            # fast path: a null-like cell normalizes to the sentinel, which
+            # is valid iff it is LITERALLY in the accept set (not implicit)
+            self._sentinel_accepted = NULL_SENTINEL in single
             # Multi-enum specials: FillNull ∪ {"NA"} (:291).
             multi_special = set(str(f) for f in rule.fillnull) | {NULL_SENTINEL}
             self._multi_special = pa.array(sorted(multi_special), type=pa.string())
@@ -93,11 +145,62 @@ class CompiledFieldRule:
     def check(self, col: pa.ChunkedArray | pa.Array):
         col = _combine(col)
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            dt = self.rule.datatype
+            if dt in ("String", "Enum", "Regex") \
+                    and not (dt == "Enum" and self.rule.allow_multi):
+                return self._check_string_fast(col, dt)
             s = _combine(normalize_null_like(col))
             n_null = int(pc.sum(pc.cast(pc.equal(s, NULL_SENTINEL), pa.int64())).as_py() or 0)
             valid = self._check_string(s)
             return valid, s, n_null
         return self._check_native(col)
+
+    def _check_string_fast(self, col: pa.Array, dt: str):
+        """Materialization-free fast paths: rows that normalize to the
+        sentinel are identified by mask (``null_like_mask``); every other
+        row's normalized value IS its raw value, so membership / regex run
+        on the raw column and the normalized copy is never built (the
+        violation values come back through a lazy handle).  Semantics are
+        identical to ``normalize_null_like`` → ``_check_string``."""
+        nl = null_like_mask(col)
+        n_null = int(nl.sum())
+        lazy = _LazyNormTake(col, nl)
+        if dt == "String":
+            return np.ones(len(col), dtype=bool), lazy, n_null
+        if dt == "Enum":
+            raw_ok = _to_bool_np(pc.is_in(col, value_set=self._single_accept))
+            valid = np.where(nl, self._sentinel_accepted, raw_ok)
+            return valid, lazy, n_null
+        # Regex: sentinel ∈ specials always, so null-like rows pass;
+        # non-null-like rows check raw ∈ specials or full-match
+        special_raw = _to_bool_np(pc.is_in(col, value_set=self._specials))
+        if not self._pattern_ok:
+            return nl | special_raw, lazy, n_null
+        return nl | special_raw | self._regex_mask(col), lazy, n_null
+
+    def _regex_mask(self, s: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """Full-match mask, evaluated once per DISTINCT value: group-id
+        and code-like columns repeat heavily, so dictionary-encode first
+        and gather the per-dictionary verdict through the codes (nulls →
+        False)."""
+        arr = _combine(s)
+        enc = pc.dictionary_encode(arr)
+        d = enc.dictionary
+        try:
+            md = pc.match_substring_regex(d, self._anchored)
+        except pa.ArrowInvalid:
+            # RE2 rejects some Python-re constructs (e.g. backreferences);
+            # fall back to the Python engine on the distinct values.
+            vals = d.to_pylist()
+            md = pa.array([u is not None
+                           and self._py_regex.fullmatch(u) is not None
+                           for u in vals], type=pa.bool_())
+        md_np = _to_bool_np(md)
+        codes = np.asarray(pc.fill_null(enc.indices, -1)).astype(np.int64)
+        out = np.zeros(len(codes), dtype=bool)
+        hit = codes >= 0
+        out[hit] = md_np[codes[hit]]
+        return out
 
     # -- string-staged semantics ------------------------------------------
 
@@ -126,17 +229,7 @@ class CompiledFieldRule:
             special = self._special_mask(s)
             if not self._pattern_ok:
                 return special
-            try:
-                m = _to_bool_np(pc.match_substring_regex(s, self._anchored))
-            except pa.ArrowInvalid:
-                # RE2 rejects some Python-re constructs (e.g. backreferences);
-                # fall back to the Python engine on the distinct values.
-                uniq = pc.unique(s).to_pylist()
-                ok_set = {u for u in uniq if u is not None
-                          and self._py_regex.fullmatch(u) is not None}
-                m = _to_bool_np(pc.is_in(s, value_set=pa.array(sorted(ok_set),
-                                                               type=pa.string())))
-            return special | m
+            return special | self._regex_mask(s)
         if dt == "Custom":
             # user-extension hook (SURVEY §2.11): registered vectorized
             # predicate over the normalized string view; specials always pass

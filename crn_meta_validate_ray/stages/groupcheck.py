@@ -524,6 +524,12 @@ def group_check_findings(
                                                      empty_exemplar,
                                                      resolve_num_buckets)
     nb = resolve_num_buckets(num_buckets)
+    # NOTE (measured, round 3): launching split tasks from
+    # iter_internal_ref_bundles to overlap the narrow read with the
+    # hash-partition work is a 4× REGRESSION here — the output iterator's
+    # consumption backpressure paces the read down to a trickle.  The
+    # materialize-then-split shape keeps the read at full width; overlap
+    # with the fused per-cell pass comes from the caller's thunk thread.
     block_refs = prepped.to_arrow_refs()
     if not block_refs:
         return rd.from_arrow(conv(

@@ -48,6 +48,12 @@ class SketchStage:
         self.hll_keys = [tuple(k) for k in (hll_keys or [])]
         self.cm_columns = list(cm_columns or [])
         self.hll_p = hll_p
+        # Count-Min bucket indices per distinct value, cached across the
+        # batches one deserialized instance processes: enum columns have a
+        # handful of distinct values, and the per-depth string hashing
+        # (4 pandas hash_array calls per batch) otherwise dominates the
+        # tiny bincount update
+        self._cm_idx_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from crn_meta_validate_ray.state.sketches import hash64
@@ -66,10 +72,26 @@ class SketchStage:
                 if pa.types.is_integer(col.type):
                     vals = np.asarray(col.combine_chunks().fill_null(-1)) \
                         .astype(np.uint64)
+                    h = hash64(vals, seed=j)
                 else:
-                    vals = np.asarray(col.cast(pa.string()).combine_chunks()
-                                      .to_pandas(), dtype=object)
-                h = hash64(vals, seed=j)
+                    # hash once per DISTINCT string and gather through the
+                    # dictionary codes — group-id columns repeat heavily,
+                    # and element-wise string hashing is the hot kernel.
+                    # hash64 is element-independent, so this is exact.
+                    enc = pc.dictionary_encode(
+                        col.cast(pa.string()).combine_chunks())
+                    duniq = np.asarray(enc.dictionary.to_pandas(),
+                                       dtype=object)
+                    codes = np.asarray(pc.fill_null(enc.indices, -1)) \
+                        .astype(np.int64)
+                    h = np.empty(n, dtype=np.uint64)
+                    isnull = codes < 0
+                    if isnull.any():
+                        h[isnull] = hash64(np.array([None], dtype=object),
+                                           seed=j)[0]
+                    if duniq.size:
+                        hd = hash64(duniq, seed=j)
+                        h[~isnull] = hd[codes[~isnull]]
                 combined = (combined * np.uint64(0x100000001B3)) ^ h
             hll = HyperLogLog(self.hll_p)
             hll.update_hashes(hash64(combined, seed=99))
@@ -86,7 +108,22 @@ class SketchStage:
             counts = np.asarray(vc.field("counts")).astype(np.int64)
             keep = np.array([u is not None for u in uniq], dtype=bool)
             cm = CountMin()
-            cm.update(uniq[keep], counts[keep])
+            vals, cnts = uniq[keep], counts[keep]
+            fresh = [v for v in vals if v not in self._cm_idx_cache]
+            if fresh:
+                fv = np.asarray(fresh, dtype=object)
+                per_depth = [
+                    (hash64(fv, seed=d + 1) % np.uint64(cm.width))
+                    .astype(np.int64) for d in range(cm.depth)]
+                for i, v in enumerate(fresh):
+                    self._cm_idx_cache[v] = np.array(
+                        [per_depth[d][i] for d in range(cm.depth)],
+                        dtype=np.int64)
+            for d in range(cm.depth):
+                idx = np.fromiter(
+                    (self._cm_idx_cache[v][d] for v in vals),
+                    dtype=np.int64, count=len(vals))
+                np.add.at(cm.table[d], idx, cnts)
             rows.append(sketch_row(self.table, f"cm:{col}", cm.to_bytes(), n))
         if not rows:
             return FINDINGS_SCHEMA.empty_table()

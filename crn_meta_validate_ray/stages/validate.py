@@ -28,7 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from crn_meta_validate_ray.functions.checks import (CompiledFieldRule,
-                                                    _combine, _to_bool_np)
+                                                    _combine, _to_bool_np,
+                                                    take_strvals)
 from crn_meta_validate_ray.functions.nulls import normalize_null_like
 from crn_meta_validate_ray.registry import NULL_SENTINEL, TableRules
 
@@ -148,8 +149,17 @@ class BatchValidator:
         n = batch.num_rows
         if n == 0:
             return empty_findings()
-        row_key, sort_key = make_locator_keys(batch, self.locator)
-        np_sort_key = np.asarray(sort_key).astype(object)
+        # locator keys (row_key/sort_key string arrays over the WHOLE
+        # batch) are only consumed by violation rows — lazily built and
+        # memoized so a clean batch (the overwhelming case) never pays the
+        # cast+pad+join over every row
+        keys_cache: list = []
+
+        def locator_keys():
+            if not keys_cache:
+                rk, sk = make_locator_keys(batch, self.locator)
+                keys_cache.append((rk, sk, np.asarray(sk).astype(object)))
+            return keys_cache[0]
 
         out_cols: dict[str, list] = {name: [] for name in FINDINGS_SCHEMA.names}
 
@@ -188,12 +198,8 @@ class BatchValidator:
             inv_keys_list: list = []
             exact = True
             if n_invalid:
-                if strvals is not None:
-                    vals = pc.take(strvals, pa.array(invalid_idx)).to_pylist()
-                else:
-                    vals = pc.cast(
-                        pc.take(_combine(batch[col_name]), pa.array(invalid_idx)),
-                        pa.string()).to_pylist()
+                vals = take_strvals(strvals, batch[col_name], invalid_idx)
+                row_key, _sk, np_sort_key = locator_keys()
                 keys = np_sort_key[invalid_idx]
                 if self.emit_violations:
                     emit("violation", col_name, rule.constraint_id, severity,
@@ -226,6 +232,7 @@ class BatchValidator:
                 ok = ~_to_bool_np(pc.equal(tv, NULL_SENTINEL))
             idx = np.nonzero(if_hit & ~ok)[0]
             if idx.size and self.emit_violations:
+                row_key, _sk, np_sort_key = locator_keys()
                 emit("violation", cond.then_col, cond.constraint_id,
                      cond.severity,
                      value=pc.take(tv, pa.array(idx)).to_pylist(),
@@ -252,12 +259,12 @@ class BatchValidator:
         if self._sketcher is not None:
             extras.append(self._sketcher(batch))
         if self.ref_rules_keys:
-            extras.append(self._ref_check(batch, row_key, sort_key))
+            extras.append(self._ref_check(batch, locator_keys))
         if extras:
             result = pa.concat_tables([result] + extras)
         return result
 
-    def _ref_check(self, batch: pa.Table, row_key, sort_key) -> pa.Table:
+    def _ref_check(self, batch: pa.Table, locator_keys) -> pa.Table:
         import ray
 
         from crn_meta_validate_ray.stages.refcheck import (_violation_table,
@@ -288,6 +295,7 @@ class BatchValidator:
             bad = np.nonzero(~membership_mask(col, keys))[0]
             if bad.size:
                 take = pa.array(bad)
+                row_key, sort_key, _np_sk = locator_keys()
                 out.append(_violation_table(
                     self.table, rule,
                     pc.take(_combine(col), take),
