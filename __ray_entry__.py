@@ -1231,19 +1231,36 @@ def oracle_sql() -> dict[str, str]:
                          (0.9, TRUE)) t(q, within_tol)
         """,
         "registry_diff_documents": """
-            WITH m AS (
+            -- null-like class NL(v) mirrors the engine's null model:
+            -- true-null, blank, textual null tokens, or the sentinel.
+            -- Enum with vocab lacking 'NA': NL rows are INVALID; Regex:
+            -- NL rows are SPECIAL (pass).  n_null counts NL for string
+            -- columns.  (\\s* is RE2-ASCII — the engine's wider Unicode
+            -- blank class diverges only on exotic whitespace absent from
+            -- these corpora.)
+            WITH f AS (
                 SELECT
-                    count(*) FILTER (WHERE lang IS NULL OR lang NOT IN
+                    (lang IS NULL OR regexp_full_match(lang, '\\s*')
+                     OR lang IN ('none','None','nan','NaN','NAN',
+                                 'N/A','n/a','NA')) AS lang_nl,
+                    (source IS NULL OR regexp_full_match(source, '\\s*')
+                     OR source IN ('none','None','nan','NaN','NAN',
+                                   'N/A','n/a','NA')) AS src_nl,
+                    lang, source, n_chars, doc_id
+                FROM documents
+            ), m AS (
+                SELECT
+                    count(*) FILTER (WHERE lang_nl OR lang NOT IN
                         ('en', 'de', 'fr')) AS lang_old,
-                    count(*) FILTER (WHERE lang IS NULL OR lang NOT IN
+                    count(*) FILTER (WHERE lang_nl OR lang NOT IN
                         ('en', 'de', 'fr', 'es', 'zh')) AS lang_new,
-                    count(*) FILTER (WHERE source IS NULL OR NOT
+                    count(*) FILTER (WHERE NOT src_nl AND NOT
                         regexp_full_match(source, 'src[0-9]')) AS src_old,
-                    count(*) FILTER (WHERE lang IS NULL) AS lang_null,
-                    count(*) FILTER (WHERE source IS NULL) AS src_null,
+                    count(*) FILTER (WHERE lang_nl) AS lang_null,
+                    count(*) FILTER (WHERE src_nl) AS src_null,
                     count(*) FILTER (WHERE n_chars IS NULL) AS nch_null,
                     count(*) FILTER (WHERE doc_id IS NULL) AS id_null
-                FROM documents
+                FROM f
             )
             SELECT * FROM (
                 -- integer/float rules on native numeric columns cannot

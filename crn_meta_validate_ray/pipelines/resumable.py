@@ -131,37 +131,38 @@ def run_resumable(
     # atomically, not to start after the partitions.  Under max_partitions
     # (simulated kill) it stays serial so the killed state matches a
     # process that died mid-loop.
+    gpid = "_groupcheck"
+    pending = [(pid, group) for pid, group in pids.items()
+               if not store.is_valid(pid, group, cs_hash)]
+    gc_needed = not store.is_valid(gpid, files, cs_hash)
+
     # broadcast referential check FUSED into the per-cell pass (the
     # one-shot pipeline's shape): membership is per-row, so it partitions
     # cleanly — per-partition ref violations land in that partition's
-    # findings/manifest and merge_run sums them.  The sorted distinct-key
-    # build runs once as Ray tasks shared by every partition (on resume it
-    # is rebuilt — cheap relative to partition work).  A too-big target
-    # side falls back to the group phase's shuffle anti-join (the only
-    # non-partitionable form).
+    # findings/manifest and merge_run sums them.  The key build runs once,
+    # shared by every partition, and only when there is work to do: a
+    # fully-resumed (no-op) run must stay metadata-only.  The placement
+    # decision (fused-broadcast vs group-phase shuffle anti-join) depends
+    # only on the target table size, so it is stable across restarts and
+    # resumed runs never double-count.
     ref_rules_keys = None
     ref_in_group_phase = False
-    if conversations_path and rules.references:
-        import ray
-
+    if conversations_path and rules.references and (pending or gc_needed):
         from crn_meta_validate_ray.pipelines.transcripts import (
-            _merge_sorted_keys, _ref_key_shards, _shard_distinct_keys)
+            REF_BROADCAST_MAX_TARGET, build_broadcast_ref_keys)
         ref = rules.references[0]
         n_target = rd.read_parquet(
             conversations_path, columns=[ref.target_column]).count()
-        if n_target <= 2_000_000:
-            shard = ray.remote(num_cpus=1)(_shard_distinct_keys)
-            merge = ray.remote(num_cpus=1)(_merge_sorted_keys)
-            parts = [shard.remote(f, rgs, ref.target_column)
-                     for f, rgs in _ref_key_shards(conversations_path)]
-            ref_rules_keys = [(ref, merge.remote(*parts))]
+        if n_target <= REF_BROADCAST_MAX_TARGET:
+            if pending:  # keys are consumed only by partition runs
+                ref_rules_keys = [(ref, build_broadcast_ref_keys(
+                    conversations_path, ref.target_column))]
         else:
             ref_in_group_phase = True
 
-    gpid = "_groupcheck"
     gc_conversations = conversations_path if ref_in_group_phase else None
     gc_future = gc_executor = None
-    if max_partitions is None and not store.is_valid(gpid, files, cs_hash):
+    if max_partitions is None and gc_needed:
         from concurrent.futures import ThreadPoolExecutor
         gc_executor = ThreadPoolExecutor(max_workers=1)
         gc_future = gc_executor.submit(
@@ -171,11 +172,8 @@ def run_resumable(
     # sketch stage FUSED into the per-cell pass (same hll/cm coverage the
     # stand-alone SketchStage had): one full-width read per partition
     # instead of a second narrow read + actor-pool spin-up
-    hll_keys = [u.columns for u in rules.unique] or (
-        [rules.locator] if rules.locator else [])
-    cm_cols = [r.field for r in rules.active_fields()
-               if r.datatype == "Enum" and not r.allow_multi]
-    sketch_spec = (hll_keys, cm_cols) if (hll_keys or cm_cols) else None
+    from crn_meta_validate_ray.pipelines.transcripts import build_sketch_spec
+    sketch_spec = build_sketch_spec(rules)
 
     def _run_partition(pid: str, group: list[str]) -> None:
         part_dir = os.path.join(out_dir, "partitions", pid)
@@ -199,8 +197,6 @@ def run_resumable(
 
     done = 0
     try:
-        pending = [(pid, group) for pid, group in pids.items()
-                   if not store.is_valid(pid, group, cs_hash)]
         if max_partitions is not None:
             # serial kill-simulation path: commit order == loop order
             for pid, group in pending:

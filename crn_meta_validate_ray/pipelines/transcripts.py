@@ -31,42 +31,44 @@ from crn_meta_validate_ray.registry import (
 )
 from crn_meta_validate_ray.stages.groupcheck import group_check_findings
 from crn_meta_validate_ray.stages.refcheck import referential_findings
-from crn_meta_validate_ray.stages.sketch import SketchStage
 from crn_meta_validate_ray.pipelines.validate_pipeline import (
     ValidationRun,
     validate_dataset,
 )
 
 
-def sketch_findings(ds: "rd.Dataset", rules: TableRules, *,
-                    concurrency=None, batch_size: int = 32768):
-    """Actor-pool sketch stage over the locator + enum columns only.
+# broadcast-vs-shuffle referential routing: the sorted distinct-key array
+# of the target side is broadcast (object store) only while the target has
+# at most this many rows; beyond it the shuffle anti-join path runs.  ONE
+# constant shared by the one-shot and resumable pipelines so both make the
+# same (restart-stable) placement decision.
+REF_BROADCAST_MAX_TARGET = 2_000_000
 
-    The pool is sized to a fraction of the cluster so it can never reserve
-    every CPU and starve the read/validate stages (on a 2-CPU cluster a
-    fixed (2, 16) pool deadlocks the pipeline into a crawl)."""
-    if concurrency is None:
-        import ray
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        concurrency = (1, max(1, cpus // 2))
+
+def build_sketch_spec(rules: TableRules) -> tuple | None:
+    """(hll_keys, cm_columns) for the fused sketch stage — the single
+    source of sketch coverage shared by the one-shot and resumable
+    pipelines (HLL over unique-rule keys or the locator; Count-Min over
+    single-value enum columns)."""
     hll_keys = [u.columns for u in rules.unique] or (
         [rules.locator] if rules.locator else [])
     cm_cols = [r.field for r in rules.active_fields()
                if r.datatype == "Enum" and not r.allow_multi]
-    needed = sorted({c for k in hll_keys for c in k} | set(cm_cols))
-    if not needed:
-        return None
-    narrow = ds.select_columns([c for c in needed
-                                if c in (ds.schema().names or [])])
-    return narrow.map_batches(
-        SketchStage,
-        fn_constructor_args=(rules.table,),
-        fn_constructor_kwargs={"hll_keys": hll_keys, "cm_columns": cm_cols},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, zero_copy_batch=True)
+    return (hll_keys, cm_cols) if (hll_keys or cm_cols) else None
+
+
+def build_broadcast_ref_keys(conversations_path: str, target_column: str):
+    """Launch the sharded distinct-key build of the referential target as
+    Ray tasks (one per file / row-group range + a small sorted-merge fold)
+    and return the merge ObjectRef — callers pass it into the fused
+    per-cell pass, overlapping the build with the main read."""
+    import ray
+
+    shard = ray.remote(num_cpus=1)(_shard_distinct_keys)
+    merge = ray.remote(num_cpus=1)(_merge_sorted_keys)
+    parts = [shard.remote(f, rgs, target_column)
+             for f, rgs in _ref_key_shards(conversations_path)]
+    return merge.remote(*parts)
 
 
 def _ref_key_shards(path, max_shards: int = 32):
@@ -166,14 +168,7 @@ def validate_transcripts(
                          | {d.group_col for d in rules.drift if d.group_col})
     narrow_cols = [c for c in narrow_cols if c in available]
 
-    sketch_spec = None
-    if sketches:
-        hll_keys = [u.columns for u in rules.unique] or (
-            [rules.locator] if rules.locator else [])
-        cm_cols = [r.field for r in rules.active_fields()
-                   if r.datatype == "Enum" and not r.allow_multi]
-        if hll_keys or cm_cols:
-            sketch_spec = (hll_keys, cm_cols)
+    sketch_spec = build_sketch_spec(rules) if sketches else None
 
     ref_rules_keys = []
     extra = []
@@ -183,19 +178,14 @@ def validate_transcripts(
                                 columns=[ref_col.target_column])
         use_broadcast = ref_mode == "broadcast" or (
             ref_mode == "auto"
-            and convs.count() <= 2_000_000)
+            and convs.count() <= REF_BROADCAST_MAX_TARGET)
         if use_broadcast:
             # the sorted key build runs as Ray tasks OVERLAPPING the fused
-            # pass — one distinct-keys task per shard of the target table
-            # (file / row-group ranges) plus a small merge fold of the
-            # sorted partials; workers block on the merge ObjectRef only
-            # until it resolves, then do searchsorted membership instead
-            # of rebuilding an is_in value-set index per batch
-            shard = ray.remote(num_cpus=1)(_shard_distinct_keys)
-            merge = ray.remote(num_cpus=1)(_merge_sorted_keys)
-            parts = [shard.remote(f, rgs, ref_col.target_column)
-                     for f, rgs in _ref_key_shards(conversations_path)]
-            ref_rules_keys.append((ref_col, merge.remote(*parts)))
+            # pass; workers block on the merge ObjectRef only until it
+            # resolves, then do searchsorted membership instead of
+            # rebuilding an is_in value-set index per batch
+            ref_rules_keys.append((ref_col, build_broadcast_ref_keys(
+                conversations_path, ref_col.target_column)))
         else:
             fk_cols = sorted({ref_col.column} | set(rules.locator) & available)
 

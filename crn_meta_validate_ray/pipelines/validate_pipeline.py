@@ -16,10 +16,14 @@ for streaming execution:
    :31-47);
 4. the report is composed with reference-parity counting and text.
 
-Violations stay distributed: in ``collect`` mode the findings dataset is
-materialized (tests / small data); in ``write`` mode findings stream to
-Parquet partitioned by ``kind`` and only the tiny colstat partition is read
-back — the full input is never materialized.
+Violations stay distributed: both modes materialize the FINDINGS stream
+(violation rows + per-batch partials — a small fraction of the input,
+which itself is never materialized) in the object store so the verdict
+fold and, in ``write`` mode, the Parquet persistence consume the same
+plasma blocks with zero disk read-back.  Tradeoff: a pathological corpus
+(≈ every cell invalid) makes the findings stream input-sized; Ray's
+object store spills it to disk rather than failing, at the cost of the
+read-back this layout avoids in the normal regime.
 """
 
 from __future__ import annotations
@@ -704,7 +708,13 @@ def compare_verdicts(ds: "rd.Dataset", rules_old: TableRules,
                 .map_batches(combine, batch_format="pyarrow",
                              batch_size=65536))
     import pandas as pd
-    folded = (partials.to_pandas()
+    folded = partials.to_pandas()
+    if folded.empty:
+        # zero colstat rows (empty input, or no ruled column present):
+        # every rule still appears below as a schema-level 'missing' row
+        folded = pd.DataFrame(columns=["version", "column", "constraint_id",
+                                       "n_rows", "n_null", "n_invalid"])
+    folded = (folded
               .groupby(["version", "column", "constraint_id"],
                        as_index=False)[["n_rows", "n_null", "n_invalid"]]
               .sum())

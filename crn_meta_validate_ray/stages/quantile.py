@@ -110,6 +110,10 @@ def quantile_rank_check(ds: "rd.Dataset", col: str, qs: list[float],
     def _counts(batch: pa.Table) -> pa.Table:
         arr = pc.drop_null(batch.column(col)).cast(pa.float64())
         v = arr.to_numpy(zero_copy_only=False)
+        # the digest ranks over FINITE values only (TDigest.update filters
+        # isfinite; NaN is not an Arrow null) — the rank denominator must
+        # match or NaN-bearing columns deflate every rank fraction
+        v = v[np.isfinite(v)]
         lo = [int((v < x).sum()) if x is not None else 0 for x in vals]
         hi = [int((v <= x).sum()) if x is not None else 0 for x in vals]
         return pa.table({

@@ -50,6 +50,19 @@ def test_quantile_rank_check_within_tol(ray_session):
     assert got["within_tol"] == [True, True, True]
 
 
+def test_quantile_rank_check_with_nans(ray_session):
+    """NaN rows (not Arrow nulls) must not deflate the rank denominator —
+    the digest ranks over finite values only (review regression)."""
+    from crn_meta_validate_ray.stages.quantile import quantile_rank_check
+
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal(50_000)
+    vals[rng.integers(0, 50_000, 10_000)] = np.nan
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(4)
+    got = quantile_rank_check(ds, "v", [0.1, 0.5, 0.9]).to_pydict()
+    assert got["within_tol"] == [True, True, True]
+
+
 def test_quantile_rank_check_heavy_ties(ray_session):
     """Discrete column with mass points: the [rank_lo, rank_hi] interval
     (not a point rank) is what makes the check pass on ties."""
@@ -126,6 +139,31 @@ def test_compare_verdicts_matches_two_full_runs(ray_session):
         for col, cs in run.colstats.items():
             assert delta[col][f"n_invalid_{name}"] == cs.n_invalid, \
                 (name, col)
+
+
+def test_compare_verdicts_no_ruled_columns(ray_session):
+    """Every rule targets a column absent from the data (or the input is
+    empty): all rules surface as schema-level rows instead of raising
+    (review regression: KeyError on an empty colstat stream)."""
+    from crn_meta_validate_ray.pipelines.validate_pipeline import \
+        compare_verdicts
+    from crn_meta_validate_ray.registry import FieldRule, TableRules
+
+    old = TableRules(table="docs", locator=("doc_id",), fields=[
+        FieldRule("ghost", "Required", "String")])
+    new = TableRules(table="docs", locator=("doc_id",), fields=[
+        FieldRule("ghost", "Required", "String"),
+        FieldRule("ghost2", "Required", "Integer")])
+    ds = rd.from_arrow(pa.table({"other": ["a", "b"]}))
+    delta = {r["column"]: r for r in compare_verdicts(ds, old, new)
+             .to_pylist()}
+    assert delta["ghost"]["verdict_old"] == "missing"
+    assert delta["ghost"]["verdict_new"] == "missing"
+    assert delta["ghost2"]["change"] == "added"
+
+    empty = rd.from_arrow(pa.table({"ghost": pa.array([], pa.string())}))
+    delta = compare_verdicts(empty, old, new).to_pylist()
+    assert {r["column"] for r in delta} == {"ghost", "ghost2"}
 
 
 # ------------------------------------------------- near-dup path auto-switch

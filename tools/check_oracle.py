@@ -99,7 +99,13 @@ def main(sf_dir: str):
             print(f"ERROR  {name}: oracle raised {type(e).__name__}: {e}")
             n_bad += 1
             continue
-        got, want = normalize(got_raw), normalize(want_raw)
+        try:
+            got, want = normalize(got_raw), normalize(want_raw)
+        except Exception as e:
+            print(f"ERROR  {name}: normalize raised "
+                  f"{type(e).__name__}: {e}")
+            n_bad += 1
+            continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL   {name}: columns {list(got.columns)} vs "
                   f"{list(want.columns)}")
