@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem": q.quantiles_lineitem,
         "group_quantiles_lineitem": q.group_quantiles_lineitem,
         "approx_quantile_check_lineitem": q.approx_quantile_check_lineitem,
+        "group_approx_quantile_check_lineitem":
+            q.group_approx_quantile_check_lineitem,
         "registry_diff_documents": q.registry_diff_documents,
         # distributed scan (prefix sum) + deterministic shuffle
         "pack_documents": q.pack_documents,
@@ -1229,6 +1231,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS q, within_tol
             FROM (VALUES (0.25, TRUE), (0.5, TRUE), (0.75, TRUE),
                          (0.9, TRUE)) t(q, within_tol)
+        """,
+        "group_approx_quantile_check_lineitem": """
+            -- per-group tolerance gate: groups come from the data, the
+            -- expected verdict is TRUE for every (group, q) — the engine
+            -- side re-derives each group's true rank by exact count
+            SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
+                   TRUE AS within_tol
+            FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+            CROSS JOIN (VALUES (0.25), (0.5), (0.9)) t(q)
         """,
         "registry_diff_documents": """
             -- null-like class NL(v) mirrors the engine's null model:

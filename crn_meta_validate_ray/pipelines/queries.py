@@ -1029,6 +1029,19 @@ def approx_quantile_check_lineitem(sf_dir: str):
                                [0.25, 0.5, 0.75, 0.9])
 
 
+def group_approx_quantile_check_lineitem(sf_dir: str):
+    """Per-group t-digest quantiles (continuous l_extendedprice per
+    l_returnflag) with the exact distributed rank-error verification —
+    only (group, digest) rows cross the exchange; within_tol is
+    data-derived (see approx_quantile_check_lineitem)."""
+    from crn_meta_validate_ray.stages.quantile import \
+        group_quantile_rank_check
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_extendedprice"])
+    return group_quantile_rank_check(ds, "l_returnflag", "l_extendedprice",
+                                     [0.25, 0.5, 0.9])
+
+
 def registry_diff_documents(sf_dir: str):
     """Dual-registry verdict comparison (reference old-CDE toggle,
     app.py:865-932) in ONE scan: old registry (narrow lang vocab, source

@@ -92,6 +92,118 @@ def approx_quantiles(ds: "rd.Dataset", col: str, qs: list[float],
                      "value": pa.array(out_v, type=pa.float64())})
 
 
+def group_approx_quantiles(ds: "rd.Dataset", group_col: str, col: str,
+                           qs: list[float],
+                           max_centroids: int = 200) -> "rd.Dataset":
+    """Per-group approximate quantiles via merging t-digests — the group
+    analogue of ``approx_quantiles`` for continuous per-group
+    distributions (e.g. latency percentiles per role) whose groups are
+    too many or too heavy for ``exact_quantiles``' value-counts fold.
+
+    Scale shape: each batch folds into ONE digest row per (group ∩
+    batch); only (group, ~max_centroids-float digest) rows enter the
+    hash-bucket exchange, never the raw values.  Returns a Dataset with
+    one row per (group, q): ``(group_col, q, value)``."""
+    import pandas as pd
+
+    from ..state.sketches import TDigest
+    from .common import grouped_map
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, col]).to_pandas()
+        df = df.dropna(subset=[col])
+        groups, digests = [], []
+        for k, sub in df.groupby(group_col, sort=False, dropna=False):
+            td = TDigest(max_centroids)
+            td.update(sub[col].to_numpy(dtype=np.float64))
+            groups.append(k)
+            digests.append(td.to_bytes())
+        return pa.table({group_col: pa.array(groups),
+                         "digest": pa.array(digests, type=pa.binary())})
+
+    partials = ds.select_columns([group_col, col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, sub in df.groupby(group_col, sort=False, dropna=False):
+            td = TDigest(max_centroids)
+            for b in sub["digest"]:
+                td.merge(TDigest.from_bytes(b))
+            for q in qs:
+                rows.append({group_col: k, "q": float(q),
+                             "value": td.quantile(q)})
+        return pd.DataFrame(rows)
+
+    return grouped_map(partials, [group_col], _merge)
+
+
+def group_quantile_rank_check(ds: "rd.Dataset", group_col: str, col: str,
+                              qs: list[float], max_centroids: int = 200,
+                              tol: float | None = None) -> pa.Table:
+    """Tolerance-checked verdict for ``group_approx_quantiles``: the
+    (small, groups × qs) answer table is collected, then ONE distributed
+    pass exactly counts each group's values below / at-or-below its
+    answers, and the requested q must fall in the widened true-rank
+    interval.  Bounded by group cardinality × len(qs) on the driver —
+    use with grouping columns of bounded cardinality (enum-like)."""
+    import pandas as pd
+
+    tol = tol if tol is not None else 3.0 / max_centroids
+    approx = group_approx_quantiles(ds, group_col, col, qs,
+                                    max_centroids).to_pandas()
+    per_group: dict = {}
+    for k, sub in approx.groupby(group_col, sort=False, dropna=False):
+        per_group[k] = np.asarray(sub.sort_values("q")["value"], dtype=float)
+    narrow = ds.select_columns([group_col, col])
+    qs_sorted = sorted(float(q) for q in qs)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().dropna(subset=[col])
+        rows = []
+        for k, sub in df.groupby(group_col, sort=False, dropna=False):
+            vals = per_group.get(k)
+            if vals is None:
+                continue
+            v = sub[col].to_numpy(dtype=np.float64)
+            v = v[np.isfinite(v)]
+            rows.append({
+                group_col: k,
+                "lo": [int((v < x).sum()) for x in vals],
+                "hi": [int((v <= x).sum()) for x in vals],
+                "n": len(v)})
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            (group_col, batch.schema.field(group_col).type),
+            ("lo", pa.list_(pa.int64())), ("hi", pa.list_(pa.int64())),
+            ("n", pa.int64())]))
+
+    acc: dict = {}
+    for b in narrow.map_batches(_counts, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            k = row[group_col]
+            lo, hi, n = acc.setdefault(
+                k, [np.zeros(len(qs_sorted), np.int64),
+                    np.zeros(len(qs_sorted), np.int64), 0])
+            lo += np.asarray(row["lo"], np.int64)
+            hi += np.asarray(row["hi"], np.int64)
+            acc[k][2] = n + row["n"]
+    out_g, out_q, out_ok = [], [], []
+    for k in sorted(per_group):
+        vals = per_group[k]
+        lo, hi, n = acc.get(k, [np.zeros(len(qs_sorted), np.int64),
+                                np.zeros(len(qs_sorted), np.int64), 0])
+        for q, v, l, h in zip(qs_sorted, vals, lo, hi):
+            ok = bool(n) and np.isfinite(v) \
+                and (l / n - tol <= q <= h / n + tol)
+            out_g.append(k)
+            out_q.append(q)
+            out_ok.append(ok)
+    return pa.table({group_col: pa.array(out_g),
+                     "q": pa.array(out_q, type=pa.float64()),
+                     "within_tol": pa.array(out_ok, type=pa.bool_())})
+
+
 def quantile_rank_check(ds: "rd.Dataset", col: str, qs: list[float],
                         max_centroids: int = 200,
                         tol: float | None = None) -> pa.Table:

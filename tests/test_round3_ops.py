@@ -63,6 +63,32 @@ def test_quantile_rank_check_with_nans(ray_session):
     assert got["within_tol"] == [True, True, True]
 
 
+def test_group_approx_quantiles_error_bound(ray_session):
+    """Per-group t-digest quantiles: every group's answers satisfy the
+    rank bound vs that group's exact empirical distribution."""
+    from crn_meta_validate_ray.stages.quantile import (
+        group_approx_quantiles, group_quantile_rank_check)
+
+    rng = np.random.default_rng(9)
+    n = 120_000
+    groups = rng.choice(["a", "b", "c"], n, p=[0.7, 0.2, 0.1])
+    vals = rng.lognormal(1.0, 1.0, n) + (groups == "b") * 5.0
+    ds = rd.from_arrow(pa.table({"g": groups, "v": vals})).repartition(6)
+    got = group_approx_quantiles(ds, "g", "v",
+                                 [0.1, 0.5, 0.9]).to_pandas()
+    assert set(got["g"]) == {"a", "b", "c"}
+    for g in "abc":
+        sv = np.sort(vals[groups == g])
+        sub = got[got["g"] == g]
+        for q, v in zip(sub["q"], sub["value"]):
+            rank = np.searchsorted(sv, v) / len(sv)
+            assert abs(rank - q) <= 3.0 / 200, (g, q, v, rank)
+    check = group_quantile_rank_check(ds, "g", "v",
+                                      [0.1, 0.5, 0.9]).to_pydict()
+    assert all(check["within_tol"])
+    assert len(check["q"]) == 9
+
+
 def test_quantile_rank_check_heavy_ties(ray_session):
     """Discrete column with mass points: the [rank_lo, rank_hi] interval
     (not a point rank) is what makes the check pass on ties."""
