@@ -288,7 +288,8 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
         fp = os.path.join(gc_dir, "findings")
         import shutil
         shutil.rmtree(fp + ".tmp", ignore_errors=True)
-        mat.write_parquet(fp + ".tmp", partition_cols=["kind"])
+        mat.write_parquet(fp + ".tmp", partition_cols=["kind"],
+                          min_rows_per_file=1 << 18)
         shutil.rmtree(fp, ignore_errors=True)
         os.replace(fp + ".tmp", fp)
         counts = violation_counts(mat.filter(expr="kind == 'violation'"))

@@ -629,7 +629,11 @@ def validate_dataset(
         findings_path = os.path.join(out_dir, "findings")
         tmp_path = findings_path + ".tmp"
         shutil.rmtree(tmp_path, ignore_errors=True)
-        all_f.write_parquet(tmp_path, partition_cols=["kind"])
+        # min_rows_per_file coalesces the (many, tiny) findings blocks —
+        # one small file per kind instead of one per block; per-file open
+        # cost dominated the partition sink at high partition counts
+        all_f.write_parquet(tmp_path, partition_cols=["kind"],
+                            min_rows_per_file=1 << 18)
         shutil.rmtree(findings_path, ignore_errors=True)
         os.replace(tmp_path, findings_path)
         # downstream readers consume the PERSISTED violations (disk state,

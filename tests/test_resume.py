@@ -143,3 +143,40 @@ def test_merge_refuses_incomplete_lineage(corpus, tmp_path):
                          rules, max_partitions=2) is None
     with pytest.raises(ValueError, match="lineage-stale"):
         merge_run(out, rules)
+
+
+def test_concurrent_partition_failure_propagates_then_resumes(
+        ray_session, tmp_path):
+    """A failing partition in the CONCURRENT loop must raise out of
+    run_resumable (not hang, not swallow); after the input is repaired a
+    re-run completes, reusing any partitions that committed before the
+    failure."""
+    import shutil
+
+    src = write_corpus(CorpusSpec(n_convs=30, inject=("V1",)),
+                       str(tmp_path / "corpus"), files=4)
+    turns_dir = src["turns_dir"]
+    files = sorted(f for f in os.listdir(turns_dir)
+                   if f.endswith(".parquet"))
+    bad = os.path.join(turns_dir, files[2])
+    orig = open(bad, "rb").read()
+    with open(bad, "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    out = str(tmp_path / "run")
+    rules = transcript_rules()
+    try:
+        with pytest.raises(Exception):
+            run_resumable(turns_dir, src["conversations"], out, rules,
+                          files_per_partition=1)
+    finally:
+        with open(bad, "wb") as f:
+            f.write(orig)
+
+    run = run_resumable(turns_dir, src["conversations"], out, rules,
+                        files_per_partition=1)
+    assert run is not None and not run.passed  # V1 injects enum errors
+    assert run.extras["violation_counts"].get("enum:role", 0) > 0
+    mdir = os.path.join(out, "manifests")
+    names = {f for f in os.listdir(mdir) if f.endswith(".json")}
+    assert len([n for n in names if not n.startswith("_")]) == 4
