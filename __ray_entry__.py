@@ -1235,10 +1235,16 @@ def oracle_sql() -> dict[str, str]:
         "group_approx_quantile_check_lineitem": """
             -- per-group tolerance gate: groups come from the data, the
             -- expected verdict is TRUE for every (group, q) — the engine
-            -- side re-derives each group's true rank by exact count
+            -- side re-derives each group's true rank by exact count.
+            -- Group universe = groups with >=1 FINITE measure value (a
+            -- group of only null/NaN/inf values has no quantiles and the
+            -- engine emits no rows for it).
             SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
                    TRUE AS within_tol
-            FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+            FROM (SELECT DISTINCT l_returnflag FROM lineitem
+                  WHERE l_extendedprice IS NOT NULL
+                    AND NOT isnan(l_extendedprice)
+                    AND NOT isinf(l_extendedprice))
             CROSS JOIN (VALUES (0.25), (0.5), (0.9)) t(q)
         """,
         "registry_diff_documents": """

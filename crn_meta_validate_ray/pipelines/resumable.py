@@ -60,6 +60,14 @@ from crn_meta_validate_ray.state.checkpoint import (
 
 RUN_MANIFEST_ID = "_run"  # run-level lineage: current partition grouping
 
+# group-phase futures abandoned by a failed run, keyed by out_dir: a
+# partition failure propagates immediately (the running group thread can't
+# be interrupted), but a SUBSEQUENT run_resumable on the same out_dir in
+# the same process must join it first — otherwise two group phases race on
+# groupcheck/findings.tmp (rmtree vs in-flight write).  Cross-process
+# concurrent runs on one out_dir are out of contract (documented).
+_ABANDONED_GC: dict = {}
+
 
 def _list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
@@ -101,6 +109,16 @@ def run_resumable(
     files = _list_parquet_files(turns_path)
     cs_hash = ConstraintSet().add(rules).content_hash()
     store = ManifestStore(os.path.join(out_dir, "manifests"))
+
+    # join any group-phase thread a previous failed run abandoned on this
+    # out_dir — its commit is lineage-checked, so success and failure are
+    # both fine; what matters is that it is no longer writing
+    prev_gc = _ABANDONED_GC.pop(os.path.abspath(out_dir), None)
+    if prev_gc is not None:
+        try:
+            prev_gc.result()
+        except BaseException:
+            pass
 
     # only the per-cell field rules run in phase 1
     cell_rules = TableRules(table=rules.table, fields=rules.fields,
@@ -227,6 +245,11 @@ def run_resumable(
         # interpreter joins the non-daemon thread at exit)
         if gc_executor is not None:
             gc_executor.shutdown(wait=False, cancel_futures=True)
+            if gc_future is not None:
+                # remember the still-running phase so a retry on this
+                # out_dir joins it before starting its own (see
+                # _ABANDONED_GC)
+                _ABANDONED_GC[os.path.abspath(out_dir)] = gc_future
         raise
 
     # ---- phase 2: cross-partition group / referential checks ----

@@ -92,18 +92,53 @@ def approx_quantiles(ds: "rd.Dataset", col: str, qs: list[float],
                      "value": pa.array(out_v, type=pa.float64())})
 
 
+def _rank_counts(v: np.ndarray, vals) -> tuple:
+    """Exact strictly-below / at-or-below counts of ``vals`` within the
+    FINITE values of ``v`` — the one place the rank-check denominator
+    semantics live (the digest ranks over finite values only; NaN is a
+    value to Arrow, not a null)."""
+    v = v[np.isfinite(v)]
+    lo = np.array([int((v < x).sum())
+                   if x is not None and np.isfinite(x) else 0
+                   for x in vals], dtype=np.int64)
+    hi = np.array([int((v <= x).sum())
+                   if x is not None and np.isfinite(x) else 0
+                   for x in vals], dtype=np.int64)
+    return lo, hi, int(len(v))
+
+
+def _rank_within(q: float, value, lo: int, hi: int, n: int,
+                 tol: float) -> bool:
+    """True iff the requested q falls in the widened true-rank interval."""
+    if not n or value is None or not np.isfinite(value):
+        return False
+    return lo / n - tol <= q <= hi / n + tol
+
+
+def _norm_key(k):
+    """Null-safe group key: pandas NaN/NA group labels → None (Arrow
+    null), everything else → str (the output group column is STRING —
+    the engine's normalized-view convention, and the only way every
+    exchange bucket emits one stable Arrow schema)."""
+    import pandas as pd
+    return None if pd.isna(k) else str(k)
+
+
 def group_approx_quantiles(ds: "rd.Dataset", group_col: str, col: str,
                            qs: list[float],
                            max_centroids: int = 200) -> "rd.Dataset":
     """Per-group approximate quantiles via merging t-digests — the group
     analogue of ``approx_quantiles`` for continuous per-group
     distributions (e.g. latency percentiles per role) whose groups are
-    too many or too heavy for ``exact_quantiles``' value-counts fold.
+    too many or too heavy for ``exact_quantiles``\' value-counts fold.
 
     Scale shape: each batch folds into ONE digest row per (group ∩
     batch); only (group, ~max_centroids-float digest) rows enter the
     hash-bucket exchange, never the raw values.  Returns a Dataset with
-    one row per (group, q): ``(group_col, q, value)``."""
+    one row per (group, q): ``(group_col:string, q, value)``.  The group
+    universe is groups with ≥1 FINITE value (a group of only
+    null/NaN/inf values has no quantiles and emits no rows); a null
+    group label is kept as an Arrow null."""
     import pandas as pd
 
     from ..state.sketches import TDigest
@@ -111,14 +146,15 @@ def group_approx_quantiles(ds: "rd.Dataset", group_col: str, col: str,
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = batch.select([group_col, col]).to_pandas()
-        df = df.dropna(subset=[col])
+        vals = pd.to_numeric(df[col], errors="coerce").to_numpy(np.float64)
+        df = df[np.isfinite(vals)]
         groups, digests = [], []
         for k, sub in df.groupby(group_col, sort=False, dropna=False):
             td = TDigest(max_centroids)
             td.update(sub[col].to_numpy(dtype=np.float64))
-            groups.append(k)
+            groups.append(_norm_key(k))
             digests.append(td.to_bytes())
-        return pa.table({group_col: pa.array(groups),
+        return pa.table({group_col: pa.array(groups, type=pa.string()),
                          "digest": pa.array(digests, type=pa.binary())})
 
     partials = ds.select_columns([group_col, col]).map_batches(
@@ -131,9 +167,14 @@ def group_approx_quantiles(ds: "rd.Dataset", group_col: str, col: str,
             for b in sub["digest"]:
                 td.merge(TDigest.from_bytes(b))
             for q in qs:
-                rows.append({group_col: k, "q": float(q),
-                             "value": td.quantile(q)})
-        return pd.DataFrame(rows)
+                rows.append((_norm_key(k), float(q), td.quantile(q)))
+        # explicit columns + dtypes so EMPTY buckets emit the same Arrow
+        # schema as populated ones (string, double, double)
+        out = pd.DataFrame(rows, columns=[group_col, "q", "value"])
+        out[group_col] = out[group_col].astype("string")
+        out["q"] = out["q"].astype("float64")
+        out["value"] = out["value"].astype("float64")
+        return out
 
     return grouped_map(partials, [group_col], _merge)
 
@@ -143,10 +184,12 @@ def group_quantile_rank_check(ds: "rd.Dataset", group_col: str, col: str,
                               tol: float | None = None) -> pa.Table:
     """Tolerance-checked verdict for ``group_approx_quantiles``: the
     (small, groups × qs) answer table is collected, then ONE distributed
-    pass exactly counts each group's values below / at-or-below its
+    pass exactly counts each group\'s values below / at-or-below its
     answers, and the requested q must fall in the widened true-rank
     interval.  Bounded by group cardinality × len(qs) on the driver —
-    use with grouping columns of bounded cardinality (enum-like)."""
+    use with grouping columns of bounded cardinality (enum-like).
+    Group universe and key normalization follow
+    ``group_approx_quantiles`` (≥1 finite value; string keys)."""
     import pandas as pd
 
     tol = tol if tol is not None else 3.0 / max_centroids
@@ -154,26 +197,26 @@ def group_quantile_rank_check(ds: "rd.Dataset", group_col: str, col: str,
                                     max_centroids).to_pandas()
     per_group: dict = {}
     for k, sub in approx.groupby(group_col, sort=False, dropna=False):
-        per_group[k] = np.asarray(sub.sort_values("q")["value"], dtype=float)
+        per_group[_norm_key(k)] = np.asarray(
+            sub.sort_values("q")["value"], dtype=float)
     narrow = ds.select_columns([group_col, col])
     qs_sorted = sorted(float(q) for q in qs)
 
     def _counts(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().dropna(subset=[col])
+        df = batch.to_pandas()
         rows = []
         for k, sub in df.groupby(group_col, sort=False, dropna=False):
-            vals = per_group.get(k)
+            key = _norm_key(k)
+            vals = per_group.get(key)
             if vals is None:
                 continue
-            v = sub[col].to_numpy(dtype=np.float64)
-            v = v[np.isfinite(v)]
-            rows.append({
-                group_col: k,
-                "lo": [int((v < x).sum()) for x in vals],
-                "hi": [int((v <= x).sum()) for x in vals],
-                "n": len(v)})
+            v = pd.to_numeric(sub[col], errors="coerce") \
+                .to_numpy(np.float64)
+            lo, hi, n = _rank_counts(v, vals)
+            rows.append({group_col: key, "lo": lo.tolist(),
+                         "hi": hi.tolist(), "n": n})
         return pa.Table.from_pylist(rows, schema=pa.schema([
-            (group_col, batch.schema.field(group_col).type),
+            (group_col, pa.string()),
             ("lo", pa.list_(pa.int64())), ("hi", pa.list_(pa.int64())),
             ("n", pa.int64())]))
 
@@ -189,17 +232,15 @@ def group_quantile_rank_check(ds: "rd.Dataset", group_col: str, col: str,
             hi += np.asarray(row["hi"], np.int64)
             acc[k][2] = n + row["n"]
     out_g, out_q, out_ok = [], [], []
-    for k in sorted(per_group):
+    for k in sorted(per_group, key=lambda x: (x is None, x)):
         vals = per_group[k]
         lo, hi, n = acc.get(k, [np.zeros(len(qs_sorted), np.int64),
                                 np.zeros(len(qs_sorted), np.int64), 0])
         for q, v, l, h in zip(qs_sorted, vals, lo, hi):
-            ok = bool(n) and np.isfinite(v) \
-                and (l / n - tol <= q <= h / n + tol)
             out_g.append(k)
             out_q.append(q)
-            out_ok.append(ok)
-    return pa.table({group_col: pa.array(out_g),
+            out_ok.append(_rank_within(q, v, int(l), int(h), n, tol))
+    return pa.table({group_col: pa.array(out_g, type=pa.string()),
                      "q": pa.array(out_q, type=pa.float64()),
                      "within_tol": pa.array(out_ok, type=pa.bool_())})
 
@@ -222,16 +263,11 @@ def quantile_rank_check(ds: "rd.Dataset", col: str, qs: list[float],
     def _counts(batch: pa.Table) -> pa.Table:
         arr = pc.drop_null(batch.column(col)).cast(pa.float64())
         v = arr.to_numpy(zero_copy_only=False)
-        # the digest ranks over FINITE values only (TDigest.update filters
-        # isfinite; NaN is not an Arrow null) — the rank denominator must
-        # match or NaN-bearing columns deflate every rank fraction
-        v = v[np.isfinite(v)]
-        lo = [int((v < x).sum()) if x is not None else 0 for x in vals]
-        hi = [int((v <= x).sum()) if x is not None else 0 for x in vals]
+        lo, hi, n = _rank_counts(v, vals)
         return pa.table({
-            "lo": pa.array([lo], type=pa.list_(pa.int64())),
-            "hi": pa.array([hi], type=pa.list_(pa.int64())),
-            "n": pa.array([len(v)], type=pa.int64()),
+            "lo": pa.array([lo.tolist()], type=pa.list_(pa.int64())),
+            "hi": pa.array([hi.tolist()], type=pa.list_(pa.int64())),
+            "n": pa.array([n], type=pa.int64()),
         })
 
     lo = np.zeros(len(vals), dtype=np.int64)
@@ -243,11 +279,8 @@ def quantile_rank_check(ds: "rd.Dataset", col: str, qs: list[float],
             lo += np.asarray(row["lo"], dtype=np.int64)
             hi += np.asarray(row["hi"], dtype=np.int64)
             n += row["n"]
-    ok = []
-    for q, l, h, v in zip(approx.column("q").to_pylist(), lo, hi, vals):
-        if v is None or n == 0:
-            ok.append(False)
-            continue
-        ok.append(l / n - tol <= q <= h / n + tol)
+    ok = [_rank_within(q, v, int(l), int(h), n, tol)
+          for q, l, h, v in zip(approx.column("q").to_pylist(),
+                                lo, hi, vals)]
     return pa.table({"q": approx.column("q"),
                      "within_tol": pa.array(ok, type=pa.bool_())})

@@ -89,6 +89,31 @@ def test_group_approx_quantiles_error_bound(ray_session):
     assert len(check["q"]) == 9
 
 
+def test_group_approx_quantiles_null_groups_and_values(ray_session):
+    """Null group labels survive as Arrow nulls; a group whose values are
+    all null/NaN emits no rows (no quantiles exist); empty exchange
+    buckets emit the same schema (review regressions)."""
+    from crn_meta_validate_ray.stages.quantile import (
+        group_approx_quantiles, group_quantile_rank_check)
+
+    t = pa.table({
+        "g": pa.array(["a", "a", None, None, "b", "b", "c"]),
+        "v": pa.array([1.0, 3.0, 10.0, 20.0, None, float("nan"), 5.0]),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    import pandas as pd
+
+    got = group_approx_quantiles(ds, "g", "v", [0.5]).to_pandas()
+    by_g = {(None if pd.isna(g) else g): v
+            for g, v in zip(got["g"], got["value"])}
+    assert set(by_g) == {"a", None, "c"}  # 'b' has no finite values
+    assert by_g["c"] == pytest.approx(5.0)
+    assert 10.0 <= by_g[None] <= 20.0
+    check = group_quantile_rank_check(ds, "g", "v", [0.5]).to_pydict()
+    assert len(check["q"]) == 3
+    assert all(check["within_tol"])
+
+
 def test_quantile_rank_check_heavy_ties(ray_session):
     """Discrete column with mass points: the [rank_lo, rank_hi] interval
     (not a point rank) is what makes the check pass on ties."""
