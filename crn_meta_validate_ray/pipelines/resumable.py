@@ -19,12 +19,14 @@ Phases:
    run on just that file and commit a manifest.  On restart, partitions with
    a committed manifest whose (input files, constraint hash) lineage matches
    are skipped without reading their data.
-2. **cross-partition group phase**: sequence / uniqueness / referential
-   checks need rows co-located by conv_id, which may span partition files —
-   this phase runs once over the full input (narrow columns only) and
-   commits its own manifest.  With a conversation-aligned hive layout
-   (hash(conv_id) % P) this phase could also run per partition; the general
-   layout cannot assume that, so it is one resumable unit.
+2. **cross-partition group phase**: sequence / uniqueness / drift checks
+   need per-conversation state that may span partition files.  Each
+   partition PERSISTS run-length group partials (``kind=gpart``, see
+   stages/groupfuse.py) alongside its findings; this phase reads only
+   those partials — never the raw input again — merges them with a tiny
+   keyed exchange, and commits its own manifest.  Only the shuffle
+   referential anti-join (target table too big to broadcast) still reads
+   the raw foreign-key column here.
 3. **merge**: per-partition colstats / counts / sketches are folded (the
    two-phase all-null semantics, utils/validate_core.py:232-236) and the
    global report is composed — reading only manifests, never data.
@@ -39,7 +41,6 @@ import ray.data as rd
 
 from crn_meta_validate_ray.registry import ConstraintSet, TableRules
 from crn_meta_validate_ray.report import ReportCollector, compose_validation_report
-from crn_meta_validate_ray.stages.groupcheck import group_check_findings
 from crn_meta_validate_ray.stages.refcheck import referential_findings
 from crn_meta_validate_ray.pipelines.validate_pipeline import (
     ValidationRun,
@@ -60,14 +61,6 @@ from crn_meta_validate_ray.state.checkpoint import (
 
 RUN_MANIFEST_ID = "_run"  # run-level lineage: current partition grouping
 
-# group-phase futures abandoned by a failed run, keyed by out_dir: a
-# partition failure propagates immediately (the running group thread can't
-# be interrupted), but a SUBSEQUENT run_resumable on the same out_dir in
-# the same process must join it first — otherwise two group phases race on
-# groupcheck/findings.tmp (rmtree vs in-flight write).  Cross-process
-# concurrent runs on one out_dir are out of contract (documented).
-_ABANDONED_GC: dict = {}
-
 
 def _list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
@@ -84,7 +77,6 @@ def run_resumable(
     rules: TableRules,
     *,
     batch_size: int = 8192,
-    salt_every: int = 65536,
     max_partitions: int | None = None,
     files_per_partition: int = 1,
     partition_concurrency: int = 2,
@@ -110,17 +102,8 @@ def run_resumable(
     cs_hash = ConstraintSet().add(rules).content_hash()
     store = ManifestStore(os.path.join(out_dir, "manifests"))
 
-    # join any group-phase thread a previous failed run abandoned on this
-    # out_dir — its commit is lineage-checked, so success and failure are
-    # both fine; what matters is that it is no longer writing
-    prev_gc = _ABANDONED_GC.pop(os.path.abspath(out_dir), None)
-    if prev_gc is not None:
-        try:
-            prev_gc.result()
-        except BaseException:
-            pass
-
-    # only the per-cell field rules run in phase 1
+    # only the per-cell field rules run in phase 1 (plus the fused
+    # group-partial emit — see group_fuse below)
     cell_rules = TableRules(table=rules.table, fields=rules.fields,
                             locator=rules.locator,
                             null_rates=rules.null_rates)
@@ -143,12 +126,6 @@ def run_resumable(
         "files_per_partition": g,
         "partition_files": pids,
     })
-    # the group/ref phase reads the RAW input (never partition outputs), so
-    # on a real full run it overlaps the partition loop in a worker thread
-    # — the checkpoint boundary only requires its manifest to commit
-    # atomically, not to start after the partitions.  Under max_partitions
-    # (simulated kill) it stays serial so the killed state matches a
-    # process that died mid-loop.
     gpid = "_groupcheck"
     pending = [(pid, group) for pid, group in pids.items()
                if not store.is_valid(pid, group, cs_hash)]
@@ -179,19 +156,18 @@ def run_resumable(
             ref_in_group_phase = True
 
     gc_conversations = conversations_path if ref_in_group_phase else None
-    gc_future = gc_executor = None
-    if max_partitions is None and gc_needed:
-        from concurrent.futures import ThreadPoolExecutor
-        gc_executor = ThreadPoolExecutor(max_workers=1)
-        gc_future = gc_executor.submit(
-            _run_group_phase, store, gpid, files, cs_hash, out_dir, rules,
-            gc_conversations, salt_every)
 
     # sketch stage FUSED into the per-cell pass (same hll/cm coverage the
     # stand-alone SketchStage had): one full-width read per partition
     # instead of a second narrow read + actor-pool spin-up
     from crn_meta_validate_ray.pipelines.transcripts import build_sketch_spec
     sketch_spec = build_sketch_spec(rules)
+    # group checks FUSED too: each partition emits run-length gpart
+    # partials (+ within-batch ts-gap digests) from the same pass and
+    # persists them with its findings; the group phase merges partials
+    # only — the raw input is read exactly once per partition, ever
+    from crn_meta_validate_ray.stages.groupfuse import GroupFuseSpec
+    group_fuse = GroupFuseSpec.from_rules(rules)
 
     def _run_partition(pid: str, group: list[str]) -> None:
         part_dir = os.path.join(out_dir, "partitions", pid)
@@ -200,7 +176,9 @@ def run_resumable(
                                out_dir=part_dir, batch_size=batch_size,
                                include_details=False,
                                sketch_spec=sketch_spec,
-                               ref_rules_keys=ref_rules_keys)
+                               ref_rules_keys=ref_rules_keys,
+                               group_fuse=group_fuse,
+                               group_fuse_reduce=False)
         store.commit(pid, {
             "input_files": sorted(group),
             "input_bytes": sum(os.path.getsize(f) for f in group),
@@ -214,80 +192,73 @@ def run_resumable(
         })
 
     done = 0
-    try:
-        if max_partitions is not None:
-            # serial kill-simulation path: commit order == loop order
-            for pid, group in pending:
-                if done >= max_partitions:
-                    return None
-                _run_partition(pid, group)
-                done += 1
-        elif pending:
-            from concurrent.futures import (FIRST_EXCEPTION,
-                                            ThreadPoolExecutor, wait)
-            workers = max(1, min(partition_concurrency, len(pending)))
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                futs = [ex.submit(_run_partition, pid, group)
-                        for pid, group in pending]
-                wait(futs, return_when=FIRST_EXCEPTION)
-                for f in futs:
-                    f.cancel()  # never-started tasks die on first failure
-            # with-exit joined every running future; surface the first
-            # failure (cancelled = never ran, nothing to surface)
+    if max_partitions is not None:
+        # serial kill-simulation path: commit order == loop order
+        for pid, group in pending:
+            if done >= max_partitions:
+                return None
+            _run_partition(pid, group)
+            done += 1
+    elif pending:
+        from concurrent.futures import (FIRST_EXCEPTION,
+                                        ThreadPoolExecutor, wait)
+        workers = max(1, min(partition_concurrency, len(pending)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [ex.submit(_run_partition, pid, group)
+                    for pid, group in pending]
+            wait(futs, return_when=FIRST_EXCEPTION)
             for f in futs:
-                if not f.cancelled():
-                    f.result()
-            done = len(pending)
-    except BaseException:
-        # a partition failure must propagate NOW, not after the overlapped
-        # group phase drains; the running future cannot be interrupted but
-        # its commit is lineage-checked, so abandoning it is safe (the
-        # interpreter joins the non-daemon thread at exit)
-        if gc_executor is not None:
-            gc_executor.shutdown(wait=False, cancel_futures=True)
-            if gc_future is not None:
-                # remember the still-running phase so a retry on this
-                # out_dir joins it before starting its own (see
-                # _ABANDONED_GC)
-                _ABANDONED_GC[os.path.abspath(out_dir)] = gc_future
-        raise
+                f.cancel()  # never-started tasks die on first failure
+        # with-exit joined every running future; surface the first
+        # failure (cancelled = never ran, nothing to surface)
+        for f in futs:
+            if not f.cancelled():
+                f.result()
+        done = len(pending)
 
-    # ---- phase 2: cross-partition group / referential checks ----
-    if gc_future is not None:
-        try:
-            gc_future.result()
-        finally:
-            gc_executor.shutdown(wait=True)
-    elif not store.is_valid(gpid, files, cs_hash):
+    # ---- phase 2: merge the persisted group partials (+ shuffle ref) ----
+    # runs strictly AFTER the partitions: it consumes their committed
+    # gpart output, so there is nothing to overlap (the phase moves only
+    # compressed partials — thousands of rows, never the input)
+    if not store.is_valid(gpid, files, cs_hash):
         if max_partitions is not None and done >= max_partitions:
             return None
-        _run_group_phase(store, gpid, files, cs_hash, out_dir, rules,
-                         gc_conversations, salt_every)
+        _run_group_phase(store, gpid, files, cs_hash, out_dir, rules, pids,
+                         gc_conversations)
 
     return merge_run(out_dir, rules)
 
 
 def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
                      cs_hash: str, out_dir: str, rules: TableRules,
-                     conversations_path: str | None,
-                     salt_every: int) -> None:
-    """Cross-partition group / referential phase: runs once over the full
-    input (narrow columns only) and commits its own manifest."""
+                     pids: dict[str, list[str]],
+                     conversations_path: str | None) -> None:
+    """Cross-partition group phase: merges the run-length ``kind=gpart``
+    partials every partition persisted (stages/groupfuse.py) with a tiny
+    keyed exchange — the raw input is never re-read here.  Only the
+    shuffle referential anti-join (target table too big to broadcast)
+    still scans the raw foreign-key column."""
     gc_dir = os.path.join(out_dir, "groupcheck")
     findings = []
-    group_rules = TableRules(table=rules.table, fields=[],
-                             locator=rules.locator, unique=rules.unique,
-                             sequences=rules.sequences, drift=rules.drift)
-    narrow_cols = sorted({c for s in rules.sequences
-                          for c in (s.group_col, s.index_col)}
-                         | {c for u in rules.unique for c in u.columns}
-                         | {d.column for d in rules.drift if d.column})
-    if narrow_cols:
-        narrow = rd.read_parquet(files, columns=narrow_cols)
-        gc = group_check_findings(narrow, group_rules,
-                                  salt_every=salt_every)
-        if gc is not None:
-            findings.append(gc)
+    from crn_meta_validate_ray.stages.groupfuse import (GroupFuseSpec,
+                                                        fused_group_reduce)
+    spec = GroupFuseSpec.from_rules(rules)
+    if spec is not None:
+        gpart_dirs = []
+        for pid in sorted(pids):
+            m = store.load(pid) or {}
+            fp = m.get("findings_path") or os.path.join(
+                out_dir, "partitions", pid, "findings")
+            sub = os.path.join(fp, "kind=gpart")
+            if os.path.isdir(sub):
+                gpart_dirs.extend(_list_parquet_files(sub))
+        if gpart_dirs:
+            # the hive kind column lives in the path; _gpart_split treats
+            # kind-less value rows as partials, so only `value` is read
+            parts = rd.read_parquet(gpart_dirs, columns=["value"])
+            gc = fused_group_reduce(parts, spec)
+            if gc is not None:
+                findings.append(gc)
     if conversations_path and rules.references:
         ref = rules.references[0]
         fk_cols = sorted({ref.column} | set(rules.locator))

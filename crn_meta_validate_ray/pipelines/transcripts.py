@@ -139,10 +139,18 @@ def validate_transcripts(
     salt_every: int = 65536,
     sketches: bool = True,
     ref_mode: str = "auto",
+    group_engine: str = "fused",
     validate_conversations: bool = False,
 ) -> ValidationRun:
     """Validate a transcript corpus end-to-end; returns the turns-table
     ValidationRun (conversations serve as the referential target).
+
+    ``group_engine='fused'`` (default) computes the sequence / uniqueness /
+    drift group checks from run-length partials emitted inside the fused
+    per-cell pass (stages/groupfuse.py) — the wide input is read exactly
+    once for everything.  ``'exchange'`` keeps the stand-alone salted
+    row-level exchange (stages/groupcheck.py) off a second pruned read —
+    retained for A/B verification and as the salt-explicit reference path.
 
     With ``validate_conversations=True`` (implied when ``conv_rules`` is
     passed explicitly) the conversations table itself is also validated
@@ -197,7 +205,11 @@ def validate_transcripts(
 
             extra.append(_shuffle_ref)
 
-    if narrow_cols:
+    group_fuse = None
+    if group_engine == "fused":
+        from crn_meta_validate_ray.stages.groupfuse import GroupFuseSpec
+        group_fuse = GroupFuseSpec.from_rules(rules)
+    if group_fuse is None and narrow_cols:
         # passed as a thunk: the group-check exchange executes eagerly, so
         # validate_dataset runs it in a thread overlapping the fused pass
         def _group_check(narrow_cols=narrow_cols):
@@ -210,7 +222,8 @@ def validate_transcripts(
     run = validate_dataset(turns_full, rules, mode=mode, out_dir=out_dir,
                            batch_size=batch_size, extra_findings=extra,
                            sketch_spec=sketch_spec,
-                           ref_rules_keys=ref_rules_keys)
+                           ref_rules_keys=ref_rules_keys,
+                           group_fuse=group_fuse)
     if conversations_path and (conv_rules is not None
                                or validate_conversations):
         cr = conv_rules or conversation_rules()

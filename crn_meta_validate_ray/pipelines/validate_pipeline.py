@@ -567,6 +567,8 @@ def validate_dataset(
     include_details: bool = True,
     sketch_spec=None,
     ref_rules_keys=None,
+    group_fuse=None,
+    group_fuse_reduce: bool = True,
 ) -> ValidationRun:
     """Validate one Dataset against a TableRules registry.
 
@@ -577,12 +579,21 @@ def validate_dataset(
     ``(severity, constraint_id, msg)`` verdicts.  ``sketch_spec`` /
     ``ref_rules_keys`` fuse the sketch stage and broadcast referential check
     into the per-cell pass (one read of the wide input).
+
+    ``group_fuse`` (a ``stages.groupfuse.GroupFuseSpec``) fuses the
+    sequence/uniqueness/drift group checks into the same pass: run-length
+    partials are emitted per batch and, with ``group_fuse_reduce=True``,
+    merged by a tiny keyed exchange over the materialized findings — no
+    second read of the input.  With ``group_fuse_reduce=False`` the
+    partials are only emitted (and persisted in ``write`` mode) so a later
+    cross-partition phase can merge them — the resumable pipeline's shape.
     """
     schema = ds.schema()
     schema_names = list(schema.names) if schema is not None else []
     validator = BatchValidator(rules, sample_k=sample_k,
                                sketch_spec=sketch_spec,
-                               ref_rules_keys=ref_rules_keys)
+                               ref_rules_keys=ref_rules_keys,
+                               group_fuse=group_fuse)
     findings = ds.map_batches(validator, batch_format="pyarrow",
                               batch_size=batch_size, zero_copy_batch=True)
 
@@ -609,6 +620,14 @@ def validate_dataset(
                     ready.append(out)
     else:
         mat = findings.materialize()
+    if group_fuse is not None and group_fuse_reduce:
+        # fused group checks: merge the per-batch run partials riding the
+        # findings stream (kind='gpart') — launches right off the
+        # materialized blocks, no extra read of the input
+        from crn_meta_validate_ray.stages.groupfuse import fused_group_reduce
+        gf = fused_group_reduce(mat, group_fuse)
+        if gf is not None:
+            ready.append(gf)
     # distributed pre-fold: chunk-level combine on the cluster so the
     # serial driver fold sees a few summary rows per chunk, not every
     # violation/partial row; the extras' blocks are folded directly —
@@ -616,6 +635,11 @@ def validate_dataset(
     colstats, counts, sketches = fold_findings(
         iter(prefold_distributed(mat, *ready)), rules, sample_k)
     all_f = mat
+    if group_fuse is not None and group_fuse_reduce:
+        # consumed partials don't belong in the persisted findings or the
+        # violations stream (with reduce=False they DO persist — the
+        # resumable group phase reads them back)
+        all_f = all_f.filter(expr="kind != 'gpart'")
     for extra in ready:
         all_f = all_f.union(extra)
     if mode == "write":

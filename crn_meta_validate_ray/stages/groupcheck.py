@@ -320,6 +320,14 @@ def _merge_stage(start: int, ts_enabled: bool, size_metric_enabled: bool,
                     "weight": total_w,
                 }]))
         o = df[df["kind"] == "o"]
+        if len(o) and len(p):
+            # a group finalized as a gap outlier in stage A under the
+            # single-bucket assumption can turn out to SPAN salt buckets —
+            # its complete partials (shipped + re-extracted kept) are then
+            # in `p` and the merge-side computation above already covers
+            # it with the full-group mean; the stage-A row (bucket-0-only
+            # mean) would be a duplicate with a wrong value
+            o = o[~o["grp"].isin(set(p["grp"]))]
         if len(o):
             # gap outliers finalized in stage A (weight carries the mean
             # gap); formatted identically to the merge-side path above

@@ -117,12 +117,15 @@ class BatchValidator:
       stand-alone actor-pool variant);
     - ``ref_rules_keys=[(RefRule, object_ref_of_key_array)]`` — broadcast
       referential anti-join evaluated per batch (small target side,
-      ``ray.put`` once on the driver).
+      ``ray.put`` once on the driver);
+    - ``group_fuse=GroupFuseSpec`` — emit run-length group-check partials
+      per batch (``kind='gpart'`` rows; see stages/groupfuse.py) so the
+      sequence/uniqueness/drift exchange needs no second read.
     """
 
     def __init__(self, table_rules: TableRules, sample_k: int = 1000,
                  emit_violations: bool = True, sketch_spec=None,
-                 ref_rules_keys=None):
+                 ref_rules_keys=None, group_fuse=None):
         self.table = table_rules.table
         self.locator = table_rules.locator
         self.sample_k = sample_k
@@ -138,6 +141,7 @@ class BatchValidator:
              pa.array(sorted(set(c.then_values)), type=pa.string())
              if c.then_values else None)
             for c in getattr(table_rules, "conditionals", []) or []]
+        self.group_fuse = group_fuse
         self._sketcher = None
         if sketch_spec is not None:
             from crn_meta_validate_ray.stages.sketch import SketchStage
@@ -260,6 +264,10 @@ class BatchValidator:
             extras.append(self._sketcher(batch))
         if self.ref_rules_keys:
             extras.append(self._ref_check(batch, locator_keys))
+        if self.group_fuse is not None:
+            from crn_meta_validate_ray.stages.groupfuse import (
+                emit_group_partials)
+            extras.append(emit_group_partials(self.group_fuse, batch))
         if extras:
             result = pa.concat_tables([result] + extras)
         return result

@@ -78,6 +78,16 @@ def sketches_from_json(raw: dict) -> dict:
     return out
 
 
+# Engine layout version stamped into every manifest and required by
+# is_valid: what a partition persists and what the phases expect from each
+# other is part of the lineage.  v2: partitions persist kind=gpart
+# run-length partials and the group phase consumes them (plus the fused
+# broadcast referential counts); a run partially committed under an older
+# layout (or no stamp at all) is treated as stale and recomputed rather
+# than merged under mismatched placement assumptions.
+LAYOUT_VERSION = 2
+
+
 class ManifestStore:
     def __init__(self, root: str):
         self.root = root
@@ -105,11 +115,13 @@ class ManifestStore:
             return False
         return (m.get("constraint_hash") == constraint_hash
                 and m.get("input_files") == sorted(input_files)
+                and m.get("layout_version") == LAYOUT_VERSION
                 and m.get("committed", False))
 
     def commit(self, partition_id: str, payload: dict):
         payload = dict(payload)
         payload["partition_id"] = partition_id
+        payload["layout_version"] = LAYOUT_VERSION
         payload["committed"] = True
         payload["committed_at"] = time.time()
         tmp = self.path(partition_id) + ".tmp"

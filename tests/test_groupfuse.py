@@ -1,0 +1,167 @@
+"""Fused group checks (stages/groupfuse.py): exact parity with the
+exchange path across adversarial layouts, and the spanning-group
+gap-outlier regression both paths must now agree on."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from crn_meta_validate_ray.registry import TableRules, transcript_rules
+from crn_meta_validate_ray.stages.groupcheck import group_check_findings
+from crn_meta_validate_ray.stages.groupfuse import (GroupFuseSpec,
+                                                    fused_group_reduce)
+from crn_meta_validate_ray.stages.validate import BatchValidator
+
+
+def _violations(rows):
+    return sorted((r["constraint_id"], r["row_key"], r["value"],
+                   r["severity"], r["column"])
+                  for r in rows if r["kind"] == "violation")
+
+
+def _run_fused(ds, rules, batch_size):
+    spec = GroupFuseSpec.from_rules(rules)
+    v = BatchValidator(TableRules(table=rules.table, fields=[],
+                                  locator=rules.locator), group_fuse=spec)
+    findings = ds.map_batches(v, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    return fused_group_reduce(findings, spec).take_all()
+
+
+def _rand_corpus(seed: int) -> pd.DataFrame:
+    """Shuffled layout with gaps, multi-duplicates, wrong starts and
+    gap-outlier conversations; ts monotone in turn_idx (the transcript
+    contract both engines define span semantics over)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(rng.integers(5, 40)):
+        n = int(rng.integers(1, 60))
+        start = int(rng.integers(0, 2))
+        idxs = list(range(start, start + n))
+        if rng.random() < 0.4 and n > 3:
+            idxs.remove(idxs[rng.integers(1, len(idxs) - 1)])
+        if rng.random() < 0.5:
+            idxs += [idxs[int(rng.integers(0, len(idxs)))]] \
+                * int(rng.integers(1, 4))
+        gap = 600 if c % 5 == 0 else 10
+        for i in idxs:
+            rows.append({"conv_id": f"conv_{c:08d}", "turn_idx": i,
+                         "ts_us": (1_700_000_000_000_000 + c * 10**10
+                                   + i * gap * 1_000_000)})
+    rng.shuffle(rows)
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts_us"].astype("datetime64[us]")
+    return df.drop(columns=["ts_us"])
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 5, 8])
+def test_fused_equals_exchange_randomized(ray_session, seed):
+    rules = transcript_rules()
+    df = _rand_corpus(seed)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(4)
+    old = group_check_findings(
+        ds.select_columns(["conv_id", "turn_idx", "ts"]), rules,
+        salt_every=8).take_all()
+    new = _run_fused(ds, rules, batch_size=int(17 + seed * 13))
+    assert _violations(old) == _violations(new)
+
+
+def test_fused_cross_file_duplicates(ray_session):
+    """A whole conversation duplicated far away in the table (different
+    batch AND block) — run-coverage overlap must detect every idx as a
+    duplicate with exact counts, and contiguity must not double-count."""
+    rules = transcript_rules()
+    base = pd.DataFrame({
+        "conv_id": ["conv_00000001"] * 4 + ["conv_00000002"] * 3,
+        "turn_idx": [0, 1, 2, 3, 0, 1, 2],
+    })
+    filler = pd.DataFrame({
+        "conv_id": [f"conv_{i + 10:08d}" for i in range(50)
+                    for _ in range(2)],
+        "turn_idx": [0, 1] * 50,
+    })
+    dup = base[base["conv_id"] == "conv_00000001"]
+    df = pd.concat([base, filler, dup], ignore_index=True)
+    df["ts"] = pd.to_datetime(1_700_000_000 + np.arange(len(df)) * 10,
+                              unit="s")
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(5)
+    new = _run_fused(ds, rules, batch_size=8)
+    dups = {(r["row_key"], r["value"]) for r in new
+            if r["constraint_id"] == "unique:conv_id,turn_idx"}
+    assert dups == {(f"conv_00000001|{i}", "count=2") for i in range(4)}
+    seqs = {r["row_key"] for r in new
+            if r["constraint_id"] == "seq:turn_idx@conv_id"}
+    assert seqs == set()  # duplication alone is not a sequence gap
+    old = group_check_findings(
+        ds.select_columns(["conv_id", "turn_idx", "ts"]), rules,
+        salt_every=8).take_all()
+    assert _violations(old) == _violations(new)
+
+
+def test_fused_null_group_rows_excluded(ray_session):
+    """NULL group keys are excluded from group checks (oracle pandas
+    groupby semantics); the group containing real rows is still checked."""
+    rules = transcript_rules()
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", None, "c1"],
+        "turn_idx": [0, 1, 7, 3],
+        "ts": pd.to_datetime([0, 10, 20, 30], unit="s"),
+    })
+    new = _run_fused(rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)), rules,
+        batch_size=2)
+    seqs = [(r["row_key"], r["value"]) for r in new
+            if r["constraint_id"] == "seq:turn_idx@conv_id"]
+    assert seqs == [("c1", "n=3 distinct=3 min=0 max=3")]
+
+
+def test_spanning_group_gap_outlier_single_row(ray_session):
+    """Regression (old-path bug found by the fused differential): a group
+    spanning salt buckets whose gaps are outliers must emit exactly ONE
+    gap-outlier row with the FULL-group mean on both engines."""
+    rules = transcript_rules()
+    n = 40  # spans 5 buckets at salt_every=8
+    df = pd.DataFrame({
+        "conv_id": ["conv_00000042"] * n,
+        "turn_idx": np.arange(n),
+        "ts": pd.to_datetime(np.arange(n) * 600, unit="s"),  # 600 s gaps
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    old = group_check_findings(
+        ds.select_columns(["conv_id", "turn_idx", "ts"]), rules,
+        salt_every=8).take_all()
+    new = _run_fused(ds, rules, batch_size=7)
+    for rows in (old, new):
+        out = [r for r in rows
+               if r["constraint_id"] == "drift:ts_gap:ts:group"]
+        assert len(out) == 1
+        assert out[0]["value"].startswith("mean_gap_s=600.0 ")
+
+
+def test_fused_flagship_corpus_full_parity(ray_session, tmp_path):
+    """End-to-end validate_transcripts: fused vs exchange engines agree on
+    the verdict, every violation row, and every count over the injected
+    corpus (V1-V14)."""
+    from crn_meta_validate_ray.sources.synth import CorpusSpec, write_corpus
+    from crn_meta_validate_ray.pipelines.transcripts import (
+        validate_transcripts)
+
+    spec = CorpusSpec(n_convs=50,
+                      inject=("V1", "V2", "V4", "V5", "V10", "V11", "V12",
+                              "V14"),
+                      mega_conv_turns=200)
+    info = write_corpus(spec, str(tmp_path), files=3)
+
+    def run(engine):
+        r = validate_transcripts(info["turns_dir"], info["conversations"],
+                                 group_engine=engine, batch_size=256)
+        return (r.errors, r.warnings, r.n_rows,
+                dict(sorted(r.extras["violation_counts"].items())),
+                _violations(r.violations.take_all()))
+
+    assert run("fused") == run("exchange")
