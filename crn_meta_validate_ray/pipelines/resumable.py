@@ -243,6 +243,21 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
     from crn_meta_validate_ray.stages.groupfuse import (GroupFuseSpec,
                                                         fused_group_reduce)
     spec = GroupFuseSpec.from_rules(rules)
+    ref = rules.references[0] if (conversations_path
+                                  and rules.references) else None
+    ref_splits = num_buckets = None
+    if ref is not None and spec is not None and ref.column == spec.group_col:
+        # big-target anti-join fused into the partial exchange: only the
+        # target's distinct keys travel (launched now so the build overlaps
+        # the gpart read below); the raw turns input is never touched
+        from crn_meta_validate_ray.stages.common import resolve_num_buckets
+        from crn_meta_validate_ray.stages.groupfuse import \
+            build_ref_target_splits
+        spec = spec.with_ref(ref)
+        num_buckets = resolve_num_buckets(None)
+        ref_splits = build_ref_target_splits(
+            conversations_path, ref.target_column, num_buckets)
+        ref = None
     if spec is not None:
         gpart_dirs = []
         for pid in sorted(pids):
@@ -256,11 +271,13 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
             # the hive kind column lives in the path; _gpart_split treats
             # kind-less value rows as partials, so only `value` is read
             parts = rd.read_parquet(gpart_dirs, columns=["value"])
-            gc = fused_group_reduce(parts, spec)
+            gc = fused_group_reduce(parts, spec, num_buckets=num_buckets,
+                                    ref_splits=ref_splits)
             if gc is not None:
                 findings.append(gc)
-    if conversations_path and rules.references:
-        ref = rules.references[0]
+    if ref is not None:
+        # FK column is not the group column (or no group rules at all):
+        # stand-alone shuffle anti-join over the pruned raw FK read
         fk_cols = sorted({ref.column} | set(rules.locator))
         fk = rd.read_parquet(files, columns=fk_cols)
         convs = rd.read_parquet(conversations_path,

@@ -178,6 +178,13 @@ def validate_transcripts(
 
     sketch_spec = build_sketch_spec(rules) if sketches else None
 
+    group_fuse = None
+    group_fuse_ref_splits = None
+    group_fuse_num_buckets = None
+    if group_engine == "fused":
+        from crn_meta_validate_ray.stages.groupfuse import GroupFuseSpec
+        group_fuse = GroupFuseSpec.from_rules(rules)
+
     ref_rules_keys = []
     extra = []
     if conversations_path and rules.references:
@@ -194,6 +201,21 @@ def validate_transcripts(
             # rebuilding an is_in value-set index per batch
             ref_rules_keys.append((ref_col, build_broadcast_ref_keys(
                 conversations_path, ref_col.target_column)))
+        elif group_fuse is not None \
+                and ref_col.column == group_fuse.group_col:
+            # big-target anti-join FUSED into the gpart exchange: the FK
+            # column IS the group column, so the turns side needs no read
+            # at all — only the target's distinct keys travel (launched
+            # now, overlapping the fused pass)
+            from crn_meta_validate_ray.stages.common import \
+                resolve_num_buckets
+            from crn_meta_validate_ray.stages.groupfuse import \
+                build_ref_target_splits
+            group_fuse = group_fuse.with_ref(ref_col)
+            group_fuse_num_buckets = resolve_num_buckets(None)
+            group_fuse_ref_splits = build_ref_target_splits(
+                conversations_path, ref_col.target_column,
+                group_fuse_num_buckets)
         else:
             fk_cols = sorted({ref_col.column} | set(rules.locator) & available)
 
@@ -205,10 +227,6 @@ def validate_transcripts(
 
             extra.append(_shuffle_ref)
 
-    group_fuse = None
-    if group_engine == "fused":
-        from crn_meta_validate_ray.stages.groupfuse import GroupFuseSpec
-        group_fuse = GroupFuseSpec.from_rules(rules)
     if group_fuse is None and narrow_cols:
         # passed as a thunk: the group-check exchange executes eagerly, so
         # validate_dataset runs it in a thread overlapping the fused pass
@@ -223,7 +241,9 @@ def validate_transcripts(
                            batch_size=batch_size, extra_findings=extra,
                            sketch_spec=sketch_spec,
                            ref_rules_keys=ref_rules_keys,
-                           group_fuse=group_fuse)
+                           group_fuse=group_fuse,
+                           group_fuse_ref_splits=group_fuse_ref_splits,
+                           group_fuse_num_buckets=group_fuse_num_buckets)
     if conversations_path and (conv_rules is not None
                                or validate_conversations):
         cr = conv_rules or conversation_rules()

@@ -569,6 +569,8 @@ def validate_dataset(
     ref_rules_keys=None,
     group_fuse=None,
     group_fuse_reduce: bool = True,
+    group_fuse_ref_splits=None,
+    group_fuse_num_buckets: int | None = None,
 ) -> ValidationRun:
     """Validate one Dataset against a TableRules registry.
 
@@ -625,7 +627,9 @@ def validate_dataset(
         # findings stream (kind='gpart') — launches right off the
         # materialized blocks, no extra read of the input
         from crn_meta_validate_ray.stages.groupfuse import fused_group_reduce
-        gf = fused_group_reduce(mat, group_fuse)
+        gf = fused_group_reduce(mat, group_fuse,
+                                num_buckets=group_fuse_num_buckets,
+                                ref_splits=group_fuse_ref_splits)
         if gf is not None:
             ready.append(gf)
     # distributed pre-fold: chunk-level combine on the cluster so the

@@ -92,6 +92,25 @@ class GroupFuseSpec:
     gap_expectation: tuple | None = None   # (expected_median_s, rel_tol)
     size_metric: str | None = None
     dup_cap: int = 100_000                 # detail rows per reduce bucket
+    # fused referential anti-join (set via with_ref): when the FK column IS
+    # the group column, orphan keys fall out of the partial merge for free —
+    # the target side ships its distinct keys through the same bucket hash
+    # and the reduce marks groups with no target key (shuffle-path
+    # semantics: one violation per distinct orphan KEY, stages/refcheck.py)
+    ref_cid: str | None = None
+    ref_severity: str = "error"
+    ref_column: str | None = None
+
+    def with_ref(self, rule) -> "GroupFuseSpec":
+        """Fuse a RefRule's anti-join into the partial exchange; only valid
+        when the FK column is the group column (callers check)."""
+        from dataclasses import replace
+        if rule.column != self.group_col:
+            raise ValueError(
+                f"fused ref needs fk column == group column "
+                f"({rule.column!r} != {self.group_col!r})")
+        return replace(self, ref_cid=rule.constraint_id,
+                       ref_severity=rule.severity, ref_column=rule.column)
 
     @classmethod
     def from_rules(cls, rules: TableRules) -> "GroupFuseSpec | None":
@@ -295,12 +314,56 @@ def _gpart_split(keys: list[str], num_buckets: int, *findings_blocks,
     return _split_block(keys, num_buckets, tbl, encode_columns=["grp"])
 
 
-def _gpart_reduce(spec: GroupFuseSpec, *parts) -> pa.Table:
+def _ref_target_split(path: str, row_groups, column: str,
+                      num_buckets: int) -> list:
+    """Ray task (num_returns=buckets): distinct target keys of ONE shard,
+    hash-partitioned with the SAME bucket hash as the gpart exchange so an
+    FK group and its target key meet in one reduce task."""
+    import pyarrow.parquet as pq
+
+    from crn_meta_validate_ray.stages.common import _split_block
+
+    if row_groups is None:
+        t = pq.read_table(path, columns=[column])
+    else:
+        t = pq.ParquetFile(path).read_row_groups(row_groups,
+                                                 columns=[column])
+    col = pc.cast(t[column], pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    keys = pc.unique(col).drop_null()
+    return _split_block(["grp"], num_buckets, pa.table({"grp": keys}))
+
+
+def build_ref_target_splits(target_path: str, target_column: str,
+                            num_buckets: int) -> list:
+    """Launch the target-side distinct-key build + bucket split eagerly
+    (one Ray task per target shard) so it overlaps the fused per-cell
+    pass; returns per-shard lists of bucket part refs for
+    :func:`fused_group_reduce`."""
+    import ray
+
+    from crn_meta_validate_ray.pipelines.transcripts import _ref_key_shards
+
+    task = ray.remote(num_returns=num_buckets)(_ref_target_split)
+    per_shard = [task.remote(f, rgs, target_column, num_buckets)
+                 for f, rgs in _ref_key_shards(target_path)]
+    if num_buckets == 1:
+        per_shard = [[r] for r in per_shard]
+    return per_shard
+
+
+def _gpart_reduce(spec: GroupFuseSpec, n_gpart: int, *parts) -> pa.Table:
     """Reduce side: all partials of a group land in one bucket → exact
-    interval-union merge (vectorized pandas/numpy) → FINDINGS rows."""
+    interval-union merge (vectorized pandas/numpy) → FINDINGS rows.
+    ``parts[:n_gpart]`` are gpart splits; the rest are target-key splits
+    for the fused referential anti-join."""
     from crn_meta_validate_ray.stages.common import flatten_parts
 
-    tbls = [p for p in flatten_parts(parts) if p is not None and p.num_rows]
+    ref_tbls = [p for p in flatten_parts(parts[n_gpart:])
+                if p is not None and p.num_rows]
+    tbls = [p for p in flatten_parts(parts[:n_gpart])
+            if p is not None and p.num_rows]
     if not tbls:
         return empty_findings()
     t = pa.concat_tables([tb.select(_INNER_SCHEMA.names) for tb in tbls],
@@ -368,6 +431,29 @@ def _gpart_reduce(spec: GroupFuseSpec, *parts) -> pa.Table:
             nulls_i, nulls_i, nulls_i, nulls_l, nulls_l,
             pa.nulls(n_rows, pa.bool_()),
         ], schema=FINDINGS_SCHEMA))
+
+    if spec.ref_cid is not None:
+        # fused referential anti-join: the target side shipped its distinct
+        # keys through the same bucket hash, so orphans = this bucket's
+        # groups minus its target keys (one violation per distinct key —
+        # shuffle-path semantics, stages/refcheck.py:193)
+        if ref_tbls:
+            tkeys = np.unique(np.concatenate([
+                np.asarray(pc.cast(
+                    rt["grp"].combine_chunks()
+                    if isinstance(rt["grp"], pa.ChunkedArray) else rt["grp"],
+                    pa.string()), dtype=object)
+                for rt in ref_tbls]))
+        else:
+            tkeys = np.array([], dtype=object)
+        grp_vals = agg["grp"].to_numpy()
+        # hash-based membership: np.isin on object arrays falls back to a
+        # quadratic element loop (measured 36 s on 53k×53k keys)
+        orphan = ~pd.Index(grp_vals).isin(tkeys)
+        if orphan.any():
+            keys = pd.Series(np.sort(grp_vals[orphan].astype(str)))
+            violations(len(keys), spec.ref_column, spec.ref_cid,
+                       spec.ref_severity, keys, keys, keys)
 
     if spec.require_contiguity and spec.seq_cid:
         bad = agg[~((agg["mn"] == spec.start)
@@ -448,12 +534,17 @@ def _gpart_reduce(spec: GroupFuseSpec, *parts) -> pa.Table:
 
 
 def fused_group_reduce(findings: "rd.Dataset", spec: GroupFuseSpec,
-                       num_buckets: int | None = None
+                       num_buckets: int | None = None,
+                       ref_splits: list | None = None
                        ) -> "rd.Dataset | None":
     """Run the partial exchange over a (materialized) findings dataset that
     carries ``kind='gpart'`` rows; returns a FINDINGS dataset with the
     group-check verdict rows.  The exchange moves only the compressed
-    partials — thousands of rows per bucket, never the input."""
+    partials — thousands of rows per bucket, never the input.
+
+    ``ref_splits`` (from :func:`build_ref_target_splits`, same bucket
+    count) adds the fused referential anti-join: each reduce also receives
+    its bucket's distinct target keys and emits orphan-key violations."""
     import ray
 
     from crn_meta_validate_ray.stages.common import (resolve_num_buckets,
@@ -466,6 +557,9 @@ def fused_group_reduce(findings: "rd.Dataset", spec: GroupFuseSpec,
     split_task = ray.remote(num_returns=nb)(_gpart_split)
     reduce_task = ray.remote(_gpart_reduce)
     per_chunk = split_exchange(split_task, refs, ["grp"], nb)
-    out_refs = [reduce_task.remote(spec, *[p[bkt] for p in per_chunk])
+    ref_chunks = ref_splits or []
+    out_refs = [reduce_task.remote(spec, len(per_chunk),
+                                   *[p[bkt] for p in per_chunk],
+                                   *[rc[bkt] for rc in ref_chunks])
                 for bkt in range(nb)]
     return rd.from_arrow_refs(out_refs)

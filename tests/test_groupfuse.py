@@ -143,6 +143,31 @@ def test_spanning_group_gap_outlier_single_row(ray_session):
         assert out[0]["value"].startswith("mean_gap_s=600.0 ")
 
 
+def test_fused_shuffle_ref_parity(ray_session, tmp_path):
+    """Big-target referential path: the fused anti-join (target keys
+    through the gpart exchange) must produce exactly the standalone
+    shuffle anti-join's orphan-key rows — same distinct keys, one row
+    each — plus identical group-check results."""
+    from crn_meta_validate_ray.sources.synth import CorpusSpec, write_corpus
+    from crn_meta_validate_ray.pipelines.transcripts import (
+        validate_transcripts)
+
+    spec = CorpusSpec(n_convs=60, inject=("V10", "V11", "V12"))
+    info = write_corpus(spec, str(tmp_path), files=3)
+
+    def run(engine):
+        r = validate_transcripts(info["turns_dir"], info["conversations"],
+                                 group_engine=engine, batch_size=128,
+                                 ref_mode="shuffle")
+        return (r.errors, r.warnings,
+                dict(sorted(r.extras["violation_counts"].items())),
+                _violations(r.violations.take_all()))
+
+    fused, exchange = run("fused"), run("exchange")
+    assert fused == exchange
+    assert any(cid.startswith("ref:") for cid in fused[2])  # V5 orphans
+
+
 def test_fused_flagship_corpus_full_parity(ray_session, tmp_path):
     """End-to-end validate_transcripts: fused vs exchange engines agree on
     the verdict, every violation row, and every count over the injected

@@ -145,6 +145,31 @@ def test_merge_refuses_incomplete_lineage(corpus, tmp_path):
         merge_run(out, rules)
 
 
+def test_group_phase_fused_ref_big_target(corpus, tmp_path, monkeypatch):
+    """Target table over the broadcast limit: the referential check moves
+    into the group phase, fused into the gpart partial exchange — verdict
+    and counts must match the one-shot broadcast-path run."""
+    import crn_meta_validate_ray.pipelines.transcripts as tr
+
+    monkeypatch.setattr(tr, "REF_BROADCAST_MAX_TARGET", 1)
+    out = str(tmp_path / "run")
+    rules = transcript_rules()
+    run = run_resumable(corpus["turns_dir"], corpus["conversations"], out,
+                        rules)
+    fresh = validate_transcripts(corpus["turns_dir"], corpus["conversations"])
+    assert (run.errors, run.warnings) == (fresh.errors, fresh.warnings)
+    ref_cids = [c for c in fresh.extras["violation_counts"]
+                if c.startswith("ref:")]
+    assert ref_cids  # V12 injected orphans
+    for c in ref_cids:
+        # broadcast counts orphan ROWS, the fused/shuffle path distinct
+        # KEYS — the synthetic corpus drops whole conversations, so V12
+        # orphan turns per conv ≥ 1 and counts only match at key level
+        assert run.extras["violation_counts"][c] <= \
+            fresh.extras["violation_counts"][c]
+        assert run.extras["violation_counts"][c] > 0
+
+
 def test_concurrent_partition_failure_propagates_then_resumes(
         ray_session, tmp_path):
     """A failing partition in the CONCURRENT loop must raise out of
