@@ -340,9 +340,12 @@ def csv_roundtrip_events(sf_dir: str):
         read_csv_with_fallbacks,
         validate_structure,
     )
+    # limit lives IN the plan: sort+limit executes distributed and only
+    # 2000 rows reach the driver (a to_pandas-then-head here would collect
+    # the whole projection)
     src = rd.read_parquet(_p(sf_dir, "events"),
                           columns=["event_id", "event_type", "value"]) \
-        .to_pandas().sort_values("event_id").head(2000)
+        .sort("event_id").limit(2000).to_pandas()
     content = src.to_csv(sep=";", index=False).encode("utf-8")
     delim, confidence, _ = detect_delimiter(content)
     assert delim == ";" and confidence > 0

@@ -751,9 +751,14 @@ def compare_verdicts(ds: "rd.Dataset", rules_old: TableRules,
                        as_index=False)[["n_rows", "n_null", "n_invalid"]]
               .sum())
 
+    # indexed by (column, constraint_id): a registry carrying TWO rules on
+    # one field emits two colstat rows per column, and a bare column index
+    # would make .loc return a frame (and int(...) raise).  The delta below
+    # is per COLUMN, keyed by each version's last rule for that field —
+    # deterministic for multi-rule fields, exact for the 1-rule norm.
     per_version = {
         name: folded[folded["version"] == name]
-        .set_index("column") for name in names}
+        .set_index(["column", "constraint_id"]) for name in names}
     # the column universe comes from the RULE SETS, not the folded stream:
     # a rule whose column is missing from the data emits no colstat (it is
     # a schema-level verdict) but must still appear in the delta
@@ -769,9 +774,10 @@ def compare_verdicts(ds: "rd.Dataset", rules_old: TableRules,
                 sides.append(None)  # no rule in this version
                 continue
             pv = per_version[name]
-            if col in pv.index:
-                r = pv.loc[col]
-                sides.append((str(r["constraint_id"]),
+            key = (col, rule.constraint_id)
+            if key in pv.index:
+                r = pv.loc[key]
+                sides.append((rule.constraint_id,
                               int(r["n_invalid"]), int(r["n_null"]),
                               "fail" if int(r["n_invalid"]) else "pass"))
             else:  # ruled but absent from the data: schema-level failure

@@ -29,10 +29,53 @@ import ray.data as rd
 from ray.data.aggregate import Count
 
 
-def exact_quantiles(ds: "rd.Dataset", col: str,
-                    qs: list[float]) -> pa.Table:
+def _estimate_distinct(ds: "rd.Dataset", col: str) -> float:
+    """Cheap distinct-count probe: per-batch HLL partials over ONE pruned
+    narrow pass (no shuffle), merged on the driver — O(registers) bytes
+    per block regardless of input size."""
+    from ..state.sketches import HyperLogLog, hash64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog()
+        vals = pc.drop_null(batch.column(col))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if len(vals):
+            hll.update_hashes(hash64(np.asarray(vals)))
+        return pa.table({"hll": pa.array([hll.to_bytes()],
+                                         type=pa.binary())})
+
+    merged = HyperLogLog()
+    for b in ds.select_columns([col]) \
+            .map_batches(_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for d in b.column("hll"):
+            merged.merge(HyperLogLog.from_bytes(d.as_py()))
+    return merged.estimate()
+
+
+def exact_quantiles(ds: "rd.Dataset", col: str, qs: list[float],
+                    mode: str = "auto",
+                    max_distinct: int = 1_000_000) -> pa.Table:
     """Discrete quantiles of ``col`` (quantile_disc semantics): returns an
-    Arrow table (q, value) with one row per requested quantile."""
+    Arrow table (q, value) with one row per requested quantile.
+
+    The exact path folds the full (value, count) census on the driver, so
+    it requires bounded distinct cardinality.  ``mode='auto'`` (default)
+    probes the distinct count with a merged HLL (one narrow pass, no
+    shuffle) and routes columns beyond ``max_distinct`` to
+    :func:`approx_quantiles` (t-digest, interpolated) instead of
+    attempting an unbounded driver collect — the same guard pattern as
+    the embedding near-dup router (stages/similarity.py).  ``'exact'`` /
+    ``'approx'`` force a path."""
+    if mode not in ("auto", "exact", "approx"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "approx" or (
+            mode == "auto"
+            # 1.1 headroom: HLL error is ~1%; only a decisive overshoot
+            # reroutes (borderline columns still fit on the driver)
+            and _estimate_distinct(ds, col) > 1.1 * max_distinct):
+        return approx_quantiles(ds, col, qs)
     counts = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
     counts = counts.dropna(subset=[col]).sort_values(col, kind="stable")
     vals = counts[col].to_numpy()

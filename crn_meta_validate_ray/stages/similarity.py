@@ -394,8 +394,19 @@ def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
     if mode == "auto":
         n = narrow.count()
         if n <= small_n_guard:
-            first = narrow.take(1)
-            dim = len(first[0][vec_col]) if first else 0
+            # dim from the schema when the type carries it (fixed-size
+            # list: exact even for corpora whose FIRST row is atypical);
+            # only a plain list type pays the take(1) probe
+            dim = 0
+            try:
+                typ = narrow.schema().base_schema.field(vec_col).type
+            except Exception:
+                typ = None
+            if typ is not None and pa.types.is_fixed_size_list(typ):
+                dim = typ.list_size
+            else:
+                first = narrow.take(1)
+                dim = len(first[0][vec_col]) if first else 0
             mode = "broadcast" if n * dim * 4 <= byte_budget else "lsh"
         else:
             mode = "lsh"

@@ -54,6 +54,7 @@ class SketchStage:
         # (4 pandas hash_array calls per batch) otherwise dominates the
         # tiny bincount update
         self._cm_idx_cache: dict = {}
+        self._CM_CACHE_MAX = 8192  # see overflow handling in __call__
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from crn_meta_validate_ray.state.sketches import hash64
@@ -110,18 +111,27 @@ class SketchStage:
             cm = CountMin()
             vals, cnts = uniq[keep], counts[keep]
             fresh = [v for v in vals if v not in self._cm_idx_cache]
+            lookup = self._cm_idx_cache
             if fresh:
                 fv = np.asarray(fresh, dtype=object)
-                per_depth = [
+                stacked = np.stack([
                     (hash64(fv, seed=d + 1) % np.uint64(cm.width))
-                    .astype(np.int64) for d in range(cm.depth)]
-                for i, v in enumerate(fresh):
-                    self._cm_idx_cache[v] = np.array(
-                        [per_depth[d][i] for d in range(cm.depth)],
-                        dtype=np.int64)
+                    .astype(np.int64) for d in range(cm.depth)], axis=1)
+                # bounded cache: a misconfigured single-value Enum rule on
+                # a high-cardinality column must not grow a long-lived
+                # actor without limit — overflow values use this batch's
+                # computed indices without being remembered
+                room = self._CM_CACHE_MAX - len(lookup)
+                for i, v in enumerate(fresh[:max(0, room)]):
+                    lookup[v] = stacked[i]
+                if room < len(fresh):
+                    from collections import ChainMap
+                    lookup = ChainMap(
+                        {v: stacked[i] for i, v in enumerate(fresh)},
+                        self._cm_idx_cache)
             for d in range(cm.depth):
                 idx = np.fromiter(
-                    (self._cm_idx_cache[v][d] for v in vals),
+                    (lookup[v][d] for v in vals),
                     dtype=np.int64, count=len(vals))
                 np.add.at(cm.table[d], idx, cnts)
             rows.append(sketch_row(self.table, f"cm:{col}", cm.to_bytes(), n))

@@ -73,9 +73,13 @@ def remove_frequent_tokens(ds: "rd.Dataset", *, text_col: str = "text",
     n_docs) from every document.  Returns (id_col, clean_text, n_kept,
     n_dropped) rows; surviving tokens keep their original order and are
     re-joined with ``split_sep``."""
-    # three consumers (count, DF pass, strip pass) — one scan, cached
-    narrow = ds.select_columns([id_col, text_col]).materialize()
-    n_docs = narrow.count()
+    # the DF pass and the strip pass each run their own PRUNED scan: at
+    # corpus scale two streaming reads beat pinning the whole (id, text)
+    # projection in the object store (a materialize here is a spill storm
+    # at 100× — the text column IS the dataset).  The doc count rides the
+    # read's metadata fast path (no scan for parquet-backed inputs).
+    narrow = ds.select_columns([id_col, text_col])
+    n_docs = ds.count()
     min_df = max(1, math.ceil(min_df_frac * n_docs))
     stop = token_document_frequency(narrow, text_col=text_col,
                                     split_sep=split_sep) \

@@ -167,6 +167,24 @@ def test_compare_verdicts_deltas(ray_session):
     assert by_col["doc_id"]["change"] == "unchanged_pass"
 
 
+def test_registry_rejects_duplicate_field_rules():
+    """compare_verdicts' one-colstat-row-per-(version, column, constraint)
+    assumption (advice r03) is guaranteed at the REGISTRY level: a
+    TableRules carrying two rules on one field never constructs (the
+    reference's validate_cde_completeness analogue), and the delta is
+    additionally keyed by (column, constraint_id) as defense in depth."""
+    import pytest
+
+    from crn_meta_validate_ray.registry import (FieldRule, RegistryError,
+                                                TableRules)
+
+    with pytest.raises(RegistryError, match="duplicate rule"):
+        TableRules(table="docs", locator=("doc_id",), fields=[
+            FieldRule("lang", "Optional", "String"),
+            FieldRule("lang", "Optional", "Enum", ["en", "fr", "de"]),
+        ])
+
+
 def test_compare_verdicts_matches_two_full_runs(ray_session):
     """The single-scan comparison must agree with two independent
     validate_dataset runs on per-constraint invalid counts."""

@@ -60,3 +60,26 @@ def test_tdigest_ignores_nonfinite():
     td = TDigest()
     td.update(np.array([1.0, np.nan, np.inf, 3.0]))
     assert td.count == 2
+
+
+def test_sketchstage_cm_cache_bounded_and_exact():
+    """A high-cardinality column on a single-value Enum rule must not grow
+    the per-actor Count-Min index cache without bound (advice r03) — and
+    overflow values must still count correctly via batch-local indices."""
+    import pyarrow as pa
+
+    from crn_meta_validate_ray.stages.sketch import SketchStage
+    from crn_meta_validate_ray.state.sketches import CountMin
+
+    stage = SketchStage("t", cm_columns=["c"])
+    stage._CM_CACHE_MAX = 64
+    vals = [f"v{i:05d}" for i in range(300)] + ["hot"] * 40
+    merged = CountMin()
+    for lo in range(0, len(vals), 100):
+        out = stage(pa.table({"c": pa.array(vals[lo:lo + 100])}))
+        for row in out.to_pylist():
+            merged.merge(CountMin.from_bytes(
+                __import__("base64").b64decode(row["value"])))
+    assert len(stage._cm_idx_cache) <= 64
+    assert merged.query("hot") >= 40
+    assert merged.query("v00007") >= 1

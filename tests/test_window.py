@@ -152,6 +152,39 @@ def test_exact_quantiles_disc_semantics(ray_session):
     assert out2[0.5] == 2.0 and out2[1.0] == 4.0
 
 
+def test_exact_quantiles_cardinality_autoguard(ray_session):
+    """mode='auto' keeps quantile_disc exactness for bounded-cardinality
+    columns but reroutes high-cardinality ones to the t-digest path
+    instead of collecting an unbounded value census on the driver."""
+    import numpy as np
+
+    from crn_meta_validate_ray.stages.quantile import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    cont = rng.normal(size=20_000)          # ~all-distinct continuous
+    disc = rng.integers(0, 50, size=20_000).astype(float)
+    ds_c = rd.from_arrow(pa.table({"x": pa.array(cont)}))
+    ds_d = rd.from_arrow(pa.table({"x": pa.array(disc)}))
+
+    # bounded column: auto == exact (disc semantics preserved)
+    got = exact_quantiles(ds_d, "x", [0.25, 0.5, 0.9], mode="auto",
+                          max_distinct=1000).to_pylist()
+    want = exact_quantiles(ds_d, "x", [0.25, 0.5, 0.9],
+                           mode="exact").to_pylist()
+    assert got == want
+
+    # unbounded column under a tiny budget: auto == approx (interpolated,
+    # rank-accurate within digest tolerance)
+    out = {r["q"]: r["value"]
+           for r in exact_quantiles(ds_c, "x", [0.5], mode="auto",
+                                    max_distinct=1000).to_pylist()}
+    approx = {r["q"]: r["value"]
+              for r in exact_quantiles(ds_c, "x", [0.5],
+                                       mode="approx").to_pylist()}
+    assert out == approx
+    assert abs(out[0.5] - float(np.quantile(cont, 0.5))) < 0.05
+
+
 def test_moving_aggregate_matches_pandas_rolling(ray_session):
     import numpy as np
     import pandas as pd

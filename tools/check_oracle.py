@@ -62,7 +62,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
@@ -79,6 +79,9 @@ def main(sf_dir: str):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items()
+              if any(s in k for s in only)}
     oracles = entrymod.oracle_sql()
     n_ok = n_bad = 0
     for name, fn in qs.items():
@@ -146,4 +149,4 @@ def main(sf_dir: str):
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    raise SystemExit(main(sf, only=sys.argv[2:] or None))
