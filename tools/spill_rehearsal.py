@@ -30,6 +30,9 @@ import subprocess
 import sys
 import time
 
+# run as a script from tools/ — the library resolves from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SPILL_CONVS = int(os.environ.get("SPILL_CONVS", "3400000"))
 SPILL_CAP_BYTES = int(float(os.environ.get("SPILL_CAP_BYTES", "1e9")))
 
@@ -43,13 +46,20 @@ def _corpus():
     return cached_corpus(spec, files=64)
 
 
+def _session_dir() -> str:
+    """This process's Ray session directory (host tmp layout varies — ask
+    the live node rather than hardcoding /tmp/ray/...)."""
+    import ray
+    return ray._private.worker._global_node.get_session_dir_path()
+
+
 def _spill_stats() -> tuple[int, int]:
     """(bytes, files) currently sitting in this session's spill directory
     (the stats endpoint needs grpc, which this sandbox lacks — the spill
     dir on disk is the ground truth anyway)."""
     import glob
     tot = files = 0
-    for d in glob.glob("/tmp/ray/session_latest/ray_spilled_objects*"):
+    for d in glob.glob(os.path.join(_session_dir(), "ray_spilled_objects*")):
         for f in glob.glob(os.path.join(d, "**"), recursive=True):
             if os.path.isfile(f):
                 tot += os.path.getsize(f)
@@ -95,15 +105,18 @@ def run_child(cap_bytes: int) -> None:
 
     spilled_mib = peak["bytes"] >> 20
     spilled_objects = peak["files"]
-    cum_mib = 0
+    cum_mib = cum_objects = 0
     try:
         import re
-        with open("/tmp/ray/session_latest/logs/raylet.out") as f:
-            for m in re.finditer(r"Spilled (\d+) MiB", f.read()):
+        with open(os.path.join(_session_dir(), "logs", "raylet.out")) as f:
+            for m in re.finditer(r"Spilled (\d+) MiB, (\d+) objects",
+                                 f.read()):
                 cum_mib = max(cum_mib, int(m.group(1)))
+                cum_objects = max(cum_objects, int(m.group(2)))
     except OSError:
         pass
     spilled_mib = max(spilled_mib, cum_mib)
+    spilled_objects = max(spilled_objects, cum_objects)
     print("CHILD" + json.dumps({
         "cap_bytes": cap_bytes,
         "sec": round(dt, 2),
