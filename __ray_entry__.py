@@ -20,16 +20,21 @@ SF0001 = "/root/testdata/sf0.001"
 def entry() -> Any:
     """Flagship: full constraint-suite validation of sf0.001 lineitem
     (cell rules + uniqueness + sequence contiguity + referential check
-    against orders), returning the structured violation rows."""
+    against orders), returning the structured violation rows.
+
+    Uses the fused pipeline shape (stages/groupfuse.py): group checks are
+    computed from run-length partials emitted inside the per-cell pass and
+    the referential check is fused in too — the input is read exactly once
+    (the pre-round-4 shape paid a second narrow read for the group
+    exchange plus a referential pass; fused-vs-exchange violation-row
+    parity is pinned by tests/test_groupfuse.py)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from crn_meta_validate_ray.registry import (FieldRule, RefRule, SeqRule,
                                                 TableRules, UniqueRule)
-    from crn_meta_validate_ray.stages.groupcheck import group_check_findings
-    from crn_meta_validate_ray.stages.refcheck import referential_findings
-    from crn_meta_validate_ray.pipelines.validate_pipeline import validate_dataset
+    from crn_meta_validate_ray.pipelines.transcripts import (
+        validate_transcripts)
 
     rules = TableRules(
         table="lineitem",
@@ -46,25 +51,12 @@ def entry() -> Any:
         sequences=[SeqRule("l_orderkey", "l_linenumber", start=1)],
         references=[RefRule("l_orderkey", "orders", "o_orderkey")],
     )
-    li = rd.read_parquet(f"{SF0001}/lineitem.parquet")
-    # read PLANS built on the main thread (read_parquet construction is not
-    # thread-safe under a cold fsspec import); execution stays lazy
-    narrow = rd.read_parquet(f"{SF0001}/lineitem.parquet",
-                             columns=["l_orderkey", "l_linenumber"])
-    orders = rd.read_parquet(f"{SF0001}/orders.parquet",
-                             columns=["o_orderkey"])
-
-    # thunks: validate_dataset resolves these in worker threads so the
-    # eager group-check exchange and the referential anti-join overlap the
-    # fused per-cell pass instead of serializing before it
-    def _group_check():
-        return group_check_findings(narrow, rules, salt_every=4096)
-
-    def _ref_check():
-        return referential_findings(narrow, rules, {"orders": orders})
-
-    run = validate_dataset(li, rules, extra_findings=[_group_check,
-                                                     _ref_check])
+    # columns='rules' prunes the read to the 6 rule-referenced columns
+    # (of lineitem's 16); the schema verdict still sees the full footer
+    run = validate_transcripts(f"{SF0001}/lineitem.parquet",
+                               f"{SF0001}/orders.parquet",
+                               rules=rules, sketches=False,
+                               columns="rules")
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({"constraint_id": t["constraint_id"],

@@ -141,6 +141,7 @@ def validate_transcripts(
     ref_mode: str = "auto",
     group_engine: str = "fused",
     validate_conversations: bool = False,
+    columns: "list[str] | str | None" = None,
 ) -> ValidationRun:
     """Validate a transcript corpus end-to-end; returns the turns-table
     ValidationRun (conversations serve as the referential target).
@@ -155,7 +156,15 @@ def validate_transcripts(
     With ``validate_conversations=True`` (implied when ``conv_rules`` is
     passed explicitly) the conversations table itself is also validated
     and its verdict attached under ``extras['conversations']`` — off by
-    default so the flagship turns pass pays no extra fixed overhead."""
+    default so the flagship turns pass pays no extra fixed overhead.
+
+    ``columns`` prunes the main read: a list of columns, or ``'rules'`` to
+    read only ``rules.referenced_columns()``.  The missing/extra-column
+    verdict still sees the table's FULL schema (one metadata-only footer
+    probe) — unruled columns contribute only their name, so on a wide
+    table their bytes never leave storage.  Default (None) reads the full
+    width, which is already minimal when every column carries a rule (the
+    transcript corpus)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -163,11 +172,23 @@ def validate_transcripts(
 
     rules = rules or transcript_rules()
 
-    # ONE full-width read for per-cell checks with the sketch stage and the
-    # broadcast referential check FUSED into the same map (the wide `text`
-    # column is read exactly once); a separate *pruned* read feeds the
-    # salted group-check exchange so the shuffle never carries `text`
-    turns_full = rd.read_parquet(turns_path)
+    # ONE read for per-cell checks with the sketch stage, the broadcast
+    # referential check and (group_engine='fused') the group-check partials
+    # FUSED into the same map — the input is read exactly once; with
+    # columns= that read is pruned to the rule-referenced projection
+    full_schema_names = None
+    if columns is not None:
+        import pyarrow.dataset as pads
+        full_schema_names = list(
+            pads.dataset(turns_path, format="parquet").schema.names)
+        if columns == "rules":
+            read_cols = sorted(rules.referenced_columns())
+        else:
+            read_cols = sorted(set(columns) | rules.referenced_columns())
+        read_cols = [c for c in read_cols if c in set(full_schema_names)]
+        turns_full = rd.read_parquet(turns_path, columns=read_cols)
+    else:
+        turns_full = rd.read_parquet(turns_path)
     available = set(turns_full.schema().names)
     narrow_cols = sorted({c for s in rules.sequences
                           for c in (s.group_col, s.index_col)}
@@ -243,7 +264,8 @@ def validate_transcripts(
                            ref_rules_keys=ref_rules_keys,
                            group_fuse=group_fuse,
                            group_fuse_ref_splits=group_fuse_ref_splits,
-                           group_fuse_num_buckets=group_fuse_num_buckets)
+                           group_fuse_num_buckets=group_fuse_num_buckets,
+                           schema_names=full_schema_names)
     if conversations_path and (conv_rules is not None
                                or validate_conversations):
         cr = conv_rules or conversation_rules()

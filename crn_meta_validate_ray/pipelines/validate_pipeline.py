@@ -571,6 +571,7 @@ def validate_dataset(
     group_fuse_reduce: bool = True,
     group_fuse_ref_splits=None,
     group_fuse_num_buckets: int | None = None,
+    schema_names: "list[str] | None" = None,
 ) -> ValidationRun:
     """Validate one Dataset against a TableRules registry.
 
@@ -589,9 +590,16 @@ def validate_dataset(
     second read of the input.  With ``group_fuse_reduce=False`` the
     partials are only emitted (and persisted in ``write`` mode) so a later
     cross-partition phase can merge them — the resumable pipeline's shape.
+
+    ``schema_names`` overrides the schema used for the missing/extra-column
+    verdict (reference: utils/validate_core.py:221-223, :31-47).  Pass the
+    table's FULL column list when ``ds`` is a pruned read of only the
+    rule-referenced columns — unruled columns contribute only their name to
+    the verdict, so their bytes never need to be read.
     """
-    schema = ds.schema()
-    schema_names = list(schema.names) if schema is not None else []
+    if schema_names is None:
+        schema = ds.schema()
+        schema_names = list(schema.names) if schema is not None else []
     validator = BatchValidator(rules, sample_k=sample_k,
                                sketch_spec=sketch_spec,
                                ref_rules_keys=ref_rules_keys,

@@ -346,6 +346,22 @@ class TableRules:
         (utils/cde.py:454-456)."""
         return [r for r in self.fields if r.required in ("Required", "Optional")]
 
+    def referenced_columns(self) -> set:
+        """Every input column any rule of this registry touches — the
+        minimal projection a pruned read must carry (prune-at-the-read:
+        unruled columns contribute only their NAME to the schema verdict,
+        so their bytes never need to leave storage)."""
+        cols = set(self.locator)
+        cols |= {r.field for r in self.fields}
+        cols |= {c for u in self.unique for c in u.columns}
+        cols |= {r.column for r in self.references}
+        cols |= {c for s in self.sequences for c in (s.group_col, s.index_col)}
+        cols |= {r.column for r in self.null_rates}
+        cols |= {d.column for d in self.drift if d.column}
+        cols |= {d.group_col for d in self.drift if d.group_col}
+        cols |= {c for r in self.conditionals for c in (r.if_col, r.then_col)}
+        return cols
+
     @property
     def total_required(self) -> int:
         return sum(1 for r in self.active_fields() if r.is_required)
