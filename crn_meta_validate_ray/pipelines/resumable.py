@@ -46,9 +46,7 @@ from crn_meta_validate_ray.pipelines.validate_pipeline import (
     ValidationRun,
     build_eval_result,
     extension_summaries,
-    merge_sketches_driver,
     validate_dataset,
-    violation_counts,
 )
 from crn_meta_validate_ray.state.checkpoint import (
     ManifestStore,
@@ -169,6 +167,12 @@ def run_resumable(
     from crn_meta_validate_ray.stages.groupfuse import GroupFuseSpec
     group_fuse = GroupFuseSpec.from_rules(rules)
 
+    # partitions run in THIS process hand their materialized findings
+    # blocks (which include the gpart partials) straight to the group
+    # phase — no parquet read-back; resumed/skipped partitions are read
+    # from their committed kind=gpart files as before
+    live_findings: dict = {}
+
     def _run_partition(pid: str, group: list[str]) -> None:
         part_dir = os.path.join(out_dir, "partitions", pid)
         ds = rd.read_parquet(group)
@@ -179,6 +183,7 @@ def run_resumable(
                                ref_rules_keys=ref_rules_keys,
                                group_fuse=group_fuse,
                                group_fuse_reduce=False)
+        live_findings[pid] = run.extras.get("findings_mat")
         store.commit(pid, {
             "input_files": sorted(group),
             "input_bytes": sum(os.path.getsize(f) for f in group),
@@ -224,7 +229,7 @@ def run_resumable(
         if max_partitions is not None and done >= max_partitions:
             return None
         _run_group_phase(store, gpid, files, cs_hash, out_dir, rules, pids,
-                         gc_conversations)
+                         gc_conversations, live_findings)
 
     return merge_run(out_dir, rules)
 
@@ -232,7 +237,8 @@ def run_resumable(
 def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
                      cs_hash: str, out_dir: str, rules: TableRules,
                      pids: dict[str, list[str]],
-                     conversations_path: str | None) -> None:
+                     conversations_path: str | None,
+                     live_findings: dict | None = None) -> None:
     """Cross-partition group phase: merges the run-length ``kind=gpart``
     partials every partition persisted (stages/groupfuse.py) with a tiny
     keyed exchange — the raw input is never re-read here.  Only the
@@ -259,8 +265,16 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
             conversations_path, ref.target_column, num_buckets)
         ref = None
     if spec is not None:
+        live = live_findings or {}
         gpart_dirs = []
+        part_sources = []
         for pid in sorted(pids):
+            if live.get(pid) is not None:
+                # partition ran in this process: its materialized findings
+                # blocks are still alive in plasma — _gpart_split extracts
+                # the kind='gpart' rows directly, no parquet read-back
+                part_sources.append(live[pid])
+                continue
             m = store.load(pid) or {}
             fp = m.get("findings_path") or os.path.join(
                 out_dir, "partitions", pid, "findings")
@@ -270,7 +284,12 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
         if gpart_dirs:
             # the hive kind column lives in the path; _gpart_split treats
             # kind-less value rows as partials, so only `value` is read
-            parts = rd.read_parquet(gpart_dirs, columns=["value"])
+            part_sources.append(
+                rd.read_parquet(gpart_dirs, columns=["value"]))
+        if part_sources:
+            parts = part_sources[0]
+            for extra_src in part_sources[1:]:
+                parts = parts.union(extra_src)
             gc = fused_group_reduce(parts, spec, num_buckets=num_buckets,
                                     ref_splits=ref_splits)
             if gc is not None:
@@ -294,18 +313,29 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
             merged = merged.union(f2)
         # materialize once (the group findings stream is small: violation
         # rows + drift-sketch partials), then persist AND fold from the
-        # same plasma blocks — no disk read-back jobs on the critical path
+        # same plasma blocks — no disk read-back jobs on the critical path,
+        # and the persistence is direct chunked tasks (persist_findings),
+        # not a Dataset write job with its seconds of operator fixed cost
         mat = merged.materialize()
         fp = os.path.join(gc_dir, "findings")
         import shutil
+
+        import ray
+
+        from crn_meta_validate_ray.pipelines.validate_pipeline import (
+            fold_findings, persist_findings, prefold_distributed)
         shutil.rmtree(fp + ".tmp", ignore_errors=True)
-        mat.write_parquet(fp + ".tmp", partition_cols=["kind"],
-                          min_rows_per_file=1 << 18)
+        # persistence tasks launched first, then the prefold wave — two
+        # independent consumers of the same plasma blocks run concurrently;
+        # one prefold yields both the violation counts and the merged
+        # sketches (the previous two filter+fold Dataset jobs each paid
+        # operator fixed cost on a stream of a few thousand rows)
+        persist_refs = persist_findings([mat], fp + ".tmp", wait=False)
+        _, counts, sk = fold_findings(iter(prefold_distributed(mat)), rules)
+        sketches_json = sketches_to_json(sk)
+        ray.get(persist_refs)
         shutil.rmtree(fp, ignore_errors=True)
         os.replace(fp + ".tmp", fp)
-        counts = violation_counts(mat.filter(expr="kind == 'violation'"))
-        sketches_json = sketches_to_json(merge_sketches_driver(
-            mat.filter(expr="kind == 'sketch'")))
     store.commit(gpid, {
         "input_files": sorted(files),
         "constraint_hash": cs_hash,
