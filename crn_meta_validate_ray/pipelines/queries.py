@@ -2960,7 +2960,10 @@ def range_partition_orders(sf_dir: str):
 
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey"])
     qs = [i / 8 for i in range(1, 8)]
-    bt = exact_quantiles(ds, "o_orderkey", qs)  # pa.Table (q, value)
+    # mode="exact": the partitioner contract is REAL key boundaries
+    # (quantile_disc oracle); the auto-route would interpolate above the
+    # distinct-count budget, which this query must not do at any scale
+    bt = exact_quantiles(ds, "o_orderkey", qs, mode="exact")  # (q, value)
     bounds = np.sort(np.asarray(bt["value"], dtype=np.int64))
 
     def assign(t: pa.Table) -> pa.Table:

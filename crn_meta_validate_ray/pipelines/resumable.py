@@ -163,15 +163,28 @@ def run_resumable(
     # group checks FUSED too: each partition emits run-length gpart
     # partials (+ within-batch ts-gap digests) from the same pass and
     # persists them with its findings; the group phase merges partials
-    # only — the raw input is read exactly once per partition, ever
-    from crn_meta_validate_ray.stages.groupfuse import GroupFuseSpec
+    # only — the raw input is read exactly once per partition, ever.
+    # for_schema (one footer probe): group/index column absent → no fused
+    # group checks AND the ref anti-join must not ride the (empty) gpart
+    # exchange; ts column absent → gap check stripped
+    from crn_meta_validate_ray.stages.common import resolve_num_buckets
+    from crn_meta_validate_ray.stages.groupfuse import (GroupFuseSpec,
+                                                        presplit_gparts)
     group_fuse = GroupFuseSpec.from_rules(rules)
+    if group_fuse is not None and files:
+        import pyarrow.dataset as pads
+        available = set(
+            pads.dataset(files[0], format="parquet").schema.names)
+        group_fuse = group_fuse.for_schema(available)
+    num_buckets = resolve_num_buckets(None)
 
-    # partitions run in THIS process hand their materialized findings
-    # blocks (which include the gpart partials) straight to the group
-    # phase — no parquet read-back; resumed/skipped partitions are read
-    # from their committed kind=gpart files as before
-    live_findings: dict = {}
+    # partitions run in THIS process hand their gpart partials to the
+    # group phase PRE-SPLIT: the split tasks launch as each partition
+    # commits (overlapping the remaining partitions) and only the
+    # compressed bucket parts stay alive in plasma — never the
+    # partition's full findings blocks.  Resumed/skipped partitions are
+    # read from their committed kind=gpart files as before.
+    live_splits: dict = {}
 
     def _run_partition(pid: str, group: list[str]) -> None:
         part_dir = os.path.join(out_dir, "partitions", pid)
@@ -183,7 +196,9 @@ def run_resumable(
                                ref_rules_keys=ref_rules_keys,
                                group_fuse=group_fuse,
                                group_fuse_reduce=False)
-        live_findings[pid] = run.extras.get("findings_mat")
+        mat = run.extras.pop("findings_mat", None)
+        if group_fuse is not None and mat is not None:
+            live_splits[pid] = presplit_gparts(mat, num_buckets)
         store.commit(pid, {
             "input_files": sorted(group),
             "input_bytes": sum(os.path.getsize(f) for f in group),
@@ -229,7 +244,8 @@ def run_resumable(
         if max_partitions is not None and done >= max_partitions:
             return None
         _run_group_phase(store, gpid, files, cs_hash, out_dir, rules, pids,
-                         gc_conversations, live_findings)
+                         gc_conversations, group_fuse, num_buckets,
+                         live_splits)
 
     return merge_run(out_dir, rules)
 
@@ -238,42 +254,45 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
                      cs_hash: str, out_dir: str, rules: TableRules,
                      pids: dict[str, list[str]],
                      conversations_path: str | None,
-                     live_findings: dict | None = None) -> None:
+                     spec=None, num_buckets: int | None = None,
+                     live_splits: dict | None = None) -> None:
     """Cross-partition group phase: merges the run-length ``kind=gpart``
     partials every partition persisted (stages/groupfuse.py) with a tiny
     keyed exchange — the raw input is never re-read here.  Only the
-    shuffle referential anti-join (target table too big to broadcast)
-    still scans the raw foreign-key column."""
+    shuffle referential anti-join (target table too big to broadcast, or
+    no live group spec to carry it) still scans the raw foreign-key
+    column.  ``spec`` is the schema-guarded GroupFuseSpec the partition
+    phase ran with (None = legacy caller; rebuilt from rules)."""
     gc_dir = os.path.join(out_dir, "groupcheck")
     findings = []
     from crn_meta_validate_ray.stages.groupfuse import (GroupFuseSpec,
-                                                        fused_group_reduce)
-    spec = GroupFuseSpec.from_rules(rules)
+                                                        fused_group_reduce,
+                                                        plan_fused_ref)
+    if spec is None:
+        spec = GroupFuseSpec.from_rules(rules)
     ref = rules.references[0] if (conversations_path
                                   and rules.references) else None
-    ref_splits = num_buckets = None
-    if ref is not None and spec is not None and ref.column == spec.group_col:
+    ref_splits = None
+    # num_buckets must match the bucket count any live presplit used —
+    # pass it through so plan_fused_ref builds target splits to match
+    plan = plan_fused_ref(spec, ref, conversations_path, num_buckets)
+    if plan is not None:
         # big-target anti-join fused into the partial exchange: only the
         # target's distinct keys travel (launched now so the build overlaps
-        # the gpart read below); the raw turns input is never touched
-        from crn_meta_validate_ray.stages.common import resolve_num_buckets
-        from crn_meta_validate_ray.stages.groupfuse import \
-            build_ref_target_splits
-        spec = spec.with_ref(ref)
-        num_buckets = resolve_num_buckets(None)
-        ref_splits = build_ref_target_splits(
-            conversations_path, ref.target_column, num_buckets)
+        # the gpart read below); the raw turns input is never touched.
+        # plan_fused_ref is the ONE placement decision shared with the
+        # one-shot pipeline — a resumed run re-derives the same placement.
+        spec, num_buckets, ref_splits = plan
         ref = None
     if spec is not None:
-        live = live_findings or {}
+        live = live_splits or {}
         gpart_dirs = []
-        part_sources = []
+        presplit = []
         for pid in sorted(pids):
-            if live.get(pid) is not None:
-                # partition ran in this process: its materialized findings
-                # blocks are still alive in plasma — _gpart_split extracts
-                # the kind='gpart' rows directly, no parquet read-back
-                part_sources.append(live[pid])
+            if pid in live:
+                # partition ran in this process: its gpart partials were
+                # split as it committed — only bucket parts, no read-back
+                presplit.extend(live[pid])
                 continue
             m = store.load(pid) or {}
             fp = m.get("findings_path") or os.path.join(
@@ -281,17 +300,16 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
             sub = os.path.join(fp, "kind=gpart")
             if os.path.isdir(sub):
                 gpart_dirs.extend(_list_parquet_files(sub))
+        disk_parts = None
         if gpart_dirs:
             # the hive kind column lives in the path; _gpart_split treats
             # kind-less value rows as partials, so only `value` is read
-            part_sources.append(
-                rd.read_parquet(gpart_dirs, columns=["value"]))
-        if part_sources:
-            parts = part_sources[0]
-            for extra_src in part_sources[1:]:
-                parts = parts.union(extra_src)
-            gc = fused_group_reduce(parts, spec, num_buckets=num_buckets,
-                                    ref_splits=ref_splits)
+            disk_parts = rd.read_parquet(gpart_dirs, columns=["value"])
+        if disk_parts is not None or presplit:
+            gc = fused_group_reduce(disk_parts, spec,
+                                    num_buckets=num_buckets,
+                                    ref_splits=ref_splits,
+                                    presplit=presplit)
             if gc is not None:
                 findings.append(gc)
     if ref is not None:

@@ -205,10 +205,16 @@ def validate_transcripts(
     if group_engine == "fused":
         from crn_meta_validate_ray.stages.groupfuse import GroupFuseSpec
         group_fuse = GroupFuseSpec.from_rules(rules)
+        if group_fuse is not None:
+            # schema guard: group/index column absent → no fused group
+            # checks (and no fused ref — plan_fused_ref sees None);
+            # ts column absent → gap check stripped, not zero-gap noise
+            group_fuse = group_fuse.for_schema(available)
 
     ref_rules_keys = []
     extra = []
     if conversations_path and rules.references:
+        from crn_meta_validate_ray.stages.groupfuse import plan_fused_ref
         ref_col = rules.references[0]
         convs = rd.read_parquet(conversations_path,
                                 columns=[ref_col.target_column])
@@ -222,21 +228,14 @@ def validate_transcripts(
             # rebuilding an is_in value-set index per batch
             ref_rules_keys.append((ref_col, build_broadcast_ref_keys(
                 conversations_path, ref_col.target_column)))
-        elif group_fuse is not None \
-                and ref_col.column == group_fuse.group_col:
+        elif (plan := plan_fused_ref(group_fuse, ref_col,
+                                     conversations_path)) is not None:
             # big-target anti-join FUSED into the gpart exchange: the FK
             # column IS the group column, so the turns side needs no read
             # at all — only the target's distinct keys travel (launched
-            # now, overlapping the fused pass)
-            from crn_meta_validate_ray.stages.common import \
-                resolve_num_buckets
-            from crn_meta_validate_ray.stages.groupfuse import \
-                build_ref_target_splits
-            group_fuse = group_fuse.with_ref(ref_col)
-            group_fuse_num_buckets = resolve_num_buckets(None)
-            group_fuse_ref_splits = build_ref_target_splits(
-                conversations_path, ref_col.target_column,
-                group_fuse_num_buckets)
+            # now, overlapping the fused pass).  plan_fused_ref is the
+            # ONE placement decision shared with the resumable pipeline.
+            group_fuse, group_fuse_num_buckets, group_fuse_ref_splits = plan
         else:
             fk_cols = sorted({ref_col.column} | set(rules.locator) & available)
 
@@ -248,9 +247,13 @@ def validate_transcripts(
 
             extra.append(_shuffle_ref)
 
-    if group_fuse is None and narrow_cols:
+    if group_fuse is None and narrow_cols and group_engine != "fused":
         # passed as a thunk: the group-check exchange executes eagerly, so
-        # validate_dataset runs it in a thread overlapping the fused pass
+        # validate_dataset runs it in a thread overlapping the fused pass.
+        # (group_engine='fused' with group_fuse None means the schema
+        # guard dropped the group checks — the group/index column is
+        # absent and the schema-level verdict flags it; don't fall back
+        # to an exchange that would fail on the same missing column)
         def _group_check(narrow_cols=narrow_cols):
             return group_check_findings(
                 rd.read_parquet(turns_path, columns=narrow_cols), rules,

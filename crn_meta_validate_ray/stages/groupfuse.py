@@ -91,7 +91,10 @@ class GroupFuseSpec:
     gap_metric: str | None = None
     gap_expectation: tuple | None = None   # (expected_median_s, rel_tol)
     size_metric: str | None = None
-    dup_cap: int = 100_000                 # detail rows per reduce bucket
+    # detail rows per reduce bucket — the SAME bound the exchange engine
+    # applies per physical bucket (stages/groupcheck._MAX_DUPS_PER_BUCKET),
+    # so fused-vs-exchange violation parity holds on dup-heavy data too
+    dup_cap: int = 10_000
     # fused referential anti-join (set via with_ref): when the FK column IS
     # the group column, orphan keys fall out of the partial merge for free —
     # the target side ships its distinct keys through the same bucket hash
@@ -111,6 +114,25 @@ class GroupFuseSpec:
                 f"({rule.column!r} != {self.group_col!r})")
         return replace(self, ref_cid=rule.constraint_id,
                        ref_severity=rule.severity, ref_column=rule.column)
+
+    def for_schema(self, available: set) -> "GroupFuseSpec | None":
+        """Adapt the spec to the input's actual columns.
+
+        - group or index column absent → None (no partials would ever be
+          emitted; callers must route group-dependent work — notably a
+          fused referential anti-join — elsewhere instead of silently
+          losing it).  The missing column itself is flagged by the
+          schema-level verdict.
+        - ts column absent → strip the gap metric/expectation: partials
+          would carry fts=lts=0 placeholders and the reduce would flag
+          every multi-turn group as a mean_gap=0 outlier."""
+        from dataclasses import replace
+        if self.group_col not in available or self.index_col not in available:
+            return None
+        if self.ts_col and self.ts_col not in available:
+            return replace(self, ts_col=None, gap_metric=None,
+                           gap_expectation=None)
+        return self
 
     @classmethod
     def from_rules(cls, rules: TableRules) -> "GroupFuseSpec | None":
@@ -335,6 +357,45 @@ def _ref_target_split(path: str, row_groups, column: str,
     return _split_block(["grp"], num_buckets, pa.table({"grp": keys}))
 
 
+def plan_fused_ref(spec: "GroupFuseSpec | None", ref, target_path: str,
+                   num_buckets: int | None = None):
+    """Single source of the fused-referential placement decision, shared
+    by the one-shot and resumable pipelines (they must stay in lockstep —
+    a resumed run re-derives the same placement).  Returns
+    ``(spec_with_ref, num_buckets, ref_splits)`` with the target-key build
+    LAUNCHED (it overlaps the caller's other work), or ``None`` when the
+    anti-join cannot ride the gpart exchange — no live group spec (e.g.
+    the group/index column is absent from the input, so no partials would
+    ever carry the FK keys) or the FK column is not the group column —
+    and the caller must run the standalone shuffle anti-join instead."""
+    if spec is None or ref is None or ref.column != spec.group_col:
+        return None
+    from crn_meta_validate_ray.stages.common import resolve_num_buckets
+
+    nb = resolve_num_buckets(num_buckets)
+    return (spec.with_ref(ref), nb,
+            build_ref_target_splits(target_path, ref.target_column, nb))
+
+
+def presplit_gparts(findings_ds: "rd.Dataset", num_buckets: int) -> list:
+    """Launch the map side of the gpart exchange for ONE partition's
+    materialized findings and return its per-chunk bucket-part refs (the
+    same shape ``split_exchange`` yields).  Lets the resumable pipeline
+    split each partition's partials as soon as that partition commits:
+    the split work overlaps the remaining partitions, and only the
+    compressed gpart bucket parts stay alive in the object store — not
+    the partition's full findings blocks."""
+    import ray
+
+    from crn_meta_validate_ray.stages.common import split_exchange
+
+    refs = findings_ds.to_arrow_refs()
+    if not refs:
+        return []
+    split_task = ray.remote(num_returns=num_buckets)(_gpart_split)
+    return split_exchange(split_task, refs, ["grp"], num_buckets)
+
+
 def build_ref_target_splits(target_path: str, target_column: str,
                             num_buckets: int) -> list:
     """Launch the target-side distinct-key build + bucket split eagerly
@@ -533,9 +594,10 @@ def _gpart_reduce(spec: GroupFuseSpec, n_gpart: int, *parts) -> pa.Table:
     return pa.concat_tables(frames)
 
 
-def fused_group_reduce(findings: "rd.Dataset", spec: GroupFuseSpec,
+def fused_group_reduce(findings: "rd.Dataset | None", spec: GroupFuseSpec,
                        num_buckets: int | None = None,
-                       ref_splits: list | None = None
+                       ref_splits: list | None = None,
+                       presplit: list | None = None
                        ) -> "rd.Dataset | None":
     """Run the partial exchange over a (materialized) findings dataset that
     carries ``kind='gpart'`` rows; returns a FINDINGS dataset with the
@@ -544,19 +606,26 @@ def fused_group_reduce(findings: "rd.Dataset", spec: GroupFuseSpec,
 
     ``ref_splits`` (from :func:`build_ref_target_splits`, same bucket
     count) adds the fused referential anti-join: each reduce also receives
-    its bucket's distinct target keys and emits orphan-key violations."""
+    its bucket's distinct target keys and emits orphan-key violations.
+
+    ``presplit`` (per-chunk bucket-part refs from :func:`presplit_gparts`,
+    same bucket count) contributes partials whose map side already ran —
+    the resumable pipeline splits each partition as it commits."""
     import ray
 
     from crn_meta_validate_ray.stages.common import (resolve_num_buckets,
                                                      split_exchange)
 
-    refs = findings.to_arrow_refs()
-    if not refs:
-        return None
     nb = resolve_num_buckets(num_buckets)
-    split_task = ray.remote(num_returns=nb)(_gpart_split)
+    per_chunk = list(presplit or [])
+    if findings is not None:
+        refs = findings.to_arrow_refs()
+        if refs:
+            split_task = ray.remote(num_returns=nb)(_gpart_split)
+            per_chunk += split_exchange(split_task, refs, ["grp"], nb)
+    if not per_chunk:
+        return None
     reduce_task = ray.remote(_gpart_reduce)
-    per_chunk = split_exchange(split_task, refs, ["grp"], nb)
     ref_chunks = ref_splits or []
     out_refs = [reduce_task.remote(spec, len(per_chunk),
                                    *[p[bkt] for p in per_chunk],

@@ -190,3 +190,69 @@ def test_fused_flagship_corpus_full_parity(ray_session, tmp_path):
                 _violations(r.violations.take_all()))
 
     assert run("fused") == run("exchange")
+
+
+def test_dup_cap_matches_exchange_bound():
+    """Fused-vs-exchange violation parity requires the same dup-detail
+    truncation bound on both engines (review finding r4)."""
+    from crn_meta_validate_ray.stages.groupcheck import _MAX_DUPS_PER_BUCKET
+    assert GroupFuseSpec(table="t", group_col="g",
+                         index_col="i").dup_cap == _MAX_DUPS_PER_BUCKET
+
+
+def test_for_schema_strips_gap_check_when_ts_absent(ray_session):
+    """Declared ts_gap drift rule but no ts column in the data: the gap
+    check is stripped instead of flagging every group with mean_gap=0
+    (review finding r4)."""
+    rules = transcript_rules()
+    spec = GroupFuseSpec.from_rules(rules)
+    stripped = spec.for_schema({"conv_id", "turn_idx", "role", "text"})
+    assert stripped is not None
+    assert stripped.ts_col is None and stripped.gap_expectation is None
+    df = pd.DataFrame({"conv_id": ["a"] * 3 + ["b"] * 2,
+                       "turn_idx": [0, 1, 2, 0, 1]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    v = BatchValidator(TableRules(table=rules.table, fields=[],
+                                  locator=rules.locator),
+                       group_fuse=stripped)
+    findings = ds.map_batches(v, batch_format="pyarrow",
+                              batch_size=3).materialize()
+    out = fused_group_reduce(findings, stripped).take_all()
+    assert not [r for r in out if r["kind"] == "violation"]
+
+
+def test_for_schema_none_when_index_absent():
+    spec = GroupFuseSpec.from_rules(transcript_rules())
+    assert spec.for_schema({"conv_id", "role", "text"}) is None
+
+
+def test_missing_index_col_big_target_ref_still_runs(ray_session, tmp_path):
+    """Turns without the sequence index column + a referential target too
+    big to broadcast: the anti-join must fall back to the standalone
+    shuffle path, not ride the (empty) gpart exchange (review finding
+    r4). Verified via the one-shot pipeline with the broadcast ceiling
+    forced down."""
+    import pyarrow.parquet as pq
+
+    from crn_meta_validate_ray.pipelines import transcripts as tr
+
+    turns = pa.table({
+        "conv_id": ["c1", "c1", "orphan_x", "c2"],
+        "role": ["user", "assistant", "user", "user"],
+        "text": ["a", "b", "c", "d"],
+    })
+    convs = pa.table({"conv_id": ["c1", "c2", "c3"]})
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    pq.write_table(turns, str(tdir / "part-0.parquet"))
+    pq.write_table(convs, str(tmp_path / "convs.parquet"))
+    old = tr.REF_BROADCAST_MAX_TARGET
+    tr.REF_BROADCAST_MAX_TARGET = 1  # force the big-target route
+    try:
+        run = tr.validate_transcripts(str(tdir), str(tmp_path /
+                                                     "convs.parquet"))
+    finally:
+        tr.REF_BROADCAST_MAX_TARGET = old
+    counts = run.extras["violation_counts"]
+    ref_cid = [k for k in counts if k.startswith("ref:")]
+    assert ref_cid and counts[ref_cid[0]] == 1  # orphan_x reported
