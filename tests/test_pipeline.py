@@ -448,3 +448,40 @@ def test_extract_pairs_null_turn_idx(ray_session):
     assert out["prompt"].tolist() == ["q1", "q2"]
     assert out["response"].tolist() == ["a1", "a2"]
     assert pd.isna(out["turn_idx"].iloc[0]) and out["turn_idx"].iloc[1] == 1
+
+
+def test_persist_findings_layout_matches_hive_contract(ray_session, tmp_path):
+    """The direct chunked sink writes the same hive layout the old
+    write_parquet(partition_cols=['kind']) produced: kind in the dir name,
+    dropped from the file, readable back through _read_kind."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from crn_meta_validate_ray.stages.validate import FINDINGS_SCHEMA
+    from crn_meta_validate_ray.pipelines.validate_pipeline import (
+        _read_kind, persist_findings)
+
+    def row(kind, cid):
+        return {"kind": kind, "table": "t", "column": "c",
+                "constraint_id": cid, "severity": "error", "value": "v",
+                "row_key": "k", "sort_key": "k", "n_rows": 1, "n_null": 0,
+                "n_invalid": 1, "invalid_values": [], "invalid_value_keys": [],
+                "exact": True}
+
+    t = pa.Table.from_pylist(
+        [row("violation", "a"), row("violation", "b"), row("sketch", "s"),
+         row("gpart", "g")], schema=FINDINGS_SCHEMA)
+    ds = rd.from_arrow(t).materialize()
+    out = str(tmp_path / "findings")
+    persist_findings([ds], out, drop_gpart=True)
+    import os
+    assert sorted(os.listdir(out)) == ["kind=sketch", "kind=violation"]
+    back = _read_kind(out, "violation").take_all()
+    assert sorted(r["constraint_id"] for r in back) == ["a", "b"]
+    assert all(r["kind"] == "violation" for r in back)
+    # empty input: directory created, nothing else (atomic-swap caller
+    # still gets a valid, empty findings dir)
+    out2 = str(tmp_path / "empty")
+    persist_findings([rd.from_arrow(FINDINGS_SCHEMA.empty_table())], out2)
+    assert os.listdir(out2) == []
