@@ -59,6 +59,14 @@ from crn_meta_validate_ray.state.checkpoint import (
 
 RUN_MANIFEST_ID = "_run"  # run-level lineage: current partition grouping
 
+# sentinel for _run_group_phase's spec parameter: distinguishes "caller did
+# not supply a spec — rebuild it" from a schema-guarded None ("group/index
+# column is absent, there ARE no gpart partials, do not fuse anything into
+# the gpart exchange").  A plain None default silently rebuilt an unguarded
+# spec and routed the big-target referential anti-join onto an exchange
+# that had no partials, losing the referential violations.
+_UNSET = object()
+
 
 def _list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
@@ -66,6 +74,26 @@ def _list_parquet_files(path: str) -> list[str]:
     return sorted(
         os.path.join(path, f) for f in os.listdir(path)
         if f.endswith(".parquet"))
+
+
+def _schema_intersection(files: list[str]) -> set:
+    """Column names present in EVERY input file (footer probes only).
+
+    The fused group checks require the group/index column in every
+    partition file — a column present in some files but not others must
+    disable the fused path for the whole run (partials from a subset of
+    partitions would under-count), so the ``for_schema`` guard is fed the
+    intersection, not a single file's schema.  Cost: one parquet footer
+    read per file, metadata-only, driver-side; at real scale this comes
+    from the table catalog instead."""
+    import pyarrow.parquet as pq
+    names: set | None = None
+    for f in files:
+        cols = set(pq.read_schema(f).names)
+        names = cols if names is None else (names & cols)
+        if not names:
+            break
+    return names or set()
 
 
 def run_resumable(
@@ -172,10 +200,10 @@ def run_resumable(
                                                         presplit_gparts)
     group_fuse = GroupFuseSpec.from_rules(rules)
     if group_fuse is not None and files:
-        import pyarrow.dataset as pads
-        available = set(
-            pads.dataset(files[0], format="parquet").schema.names)
-        group_fuse = group_fuse.for_schema(available)
+        # intersection across ALL partition files (not files[0]): a
+        # group/index/ts column missing from ANY file disables the fused
+        # path for the whole run — see _schema_intersection
+        group_fuse = group_fuse.for_schema(_schema_intersection(files))
     num_buckets = resolve_num_buckets(None)
 
     # partitions run in THIS process hand their gpart partials to the
@@ -195,7 +223,8 @@ def run_resumable(
                                sketch_spec=sketch_spec,
                                ref_rules_keys=ref_rules_keys,
                                group_fuse=group_fuse,
-                               group_fuse_reduce=False)
+                               group_fuse_reduce=False,
+                               return_findings_mat=True)
         mat = run.extras.pop("findings_mat", None)
         if group_fuse is not None and mat is not None:
             live_splits[pid] = presplit_gparts(mat, num_buckets)
@@ -254,7 +283,7 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
                      cs_hash: str, out_dir: str, rules: TableRules,
                      pids: dict[str, list[str]],
                      conversations_path: str | None,
-                     spec=None, num_buckets: int | None = None,
+                     spec=_UNSET, num_buckets: int | None = None,
                      live_splits: dict | None = None) -> None:
     """Cross-partition group phase: merges the run-length ``kind=gpart``
     partials every partition persisted (stages/groupfuse.py) with a tiny
@@ -262,14 +291,20 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
     shuffle referential anti-join (target table too big to broadcast, or
     no live group spec to carry it) still scans the raw foreign-key
     column.  ``spec`` is the schema-guarded GroupFuseSpec the partition
-    phase ran with (None = legacy caller; rebuilt from rules)."""
+    phase ran with — an explicit None means "schema guard disabled the
+    fused path; there are no gpart partials", so the referential check
+    MUST take the stand-alone shuffle anti-join below, never a fused
+    placement.  Only a caller that passes no spec at all (``_UNSET``)
+    gets one rebuilt from the rules, re-applying the same schema guard."""
     gc_dir = os.path.join(out_dir, "groupcheck")
     findings = []
     from crn_meta_validate_ray.stages.groupfuse import (GroupFuseSpec,
                                                         fused_group_reduce,
                                                         plan_fused_ref)
-    if spec is None:
+    if spec is _UNSET:
         spec = GroupFuseSpec.from_rules(rules)
+        if spec is not None and files:
+            spec = spec.for_schema(_schema_intersection(files))
     ref = rules.references[0] if (conversations_path
                                   and rules.references) else None
     ref_splits = None
@@ -314,15 +349,21 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
                 findings.append(gc)
     if ref is not None:
         # FK column is not the group column (or no group rules at all):
-        # stand-alone shuffle anti-join over the pruned raw FK read
-        fk_cols = sorted({ref.column} | set(rules.locator))
-        fk = rd.read_parquet(files, columns=fk_cols)
-        convs = rd.read_parquet(conversations_path,
-                                columns=[ref.target_column])
-        rf = referential_findings(fk, rules,
-                                  {ref.target_table: convs})
-        if rf is not None:
-            findings.append(rf)
+        # stand-alone shuffle anti-join over the pruned raw FK read.
+        # Locator columns absent from some partition files are dropped
+        # from the projection (same `& available` the one-shot pipeline
+        # applies); a missing FK column itself skips the check — the
+        # schema-level verdict already flags the absent column.
+        available = _schema_intersection(files)
+        if ref.column in available:
+            fk_cols = sorted({ref.column} | set(rules.locator) & available)
+            fk = rd.read_parquet(files, columns=fk_cols)
+            convs = rd.read_parquet(conversations_path,
+                                    columns=[ref.target_column])
+            rf = referential_findings(fk, rules,
+                                      {ref.target_table: convs})
+            if rf is not None:
+                findings.append(rf)
     counts: dict = {}
     sketches_json: dict = {}
     if findings:

@@ -640,6 +640,7 @@ def validate_dataset(
     group_fuse_ref_splits=None,
     group_fuse_num_buckets: int | None = None,
     schema_names: "list[str] | None" = None,
+    return_findings_mat: bool = False,
 ) -> ValidationRun:
     """Validate one Dataset against a TableRules registry.
 
@@ -773,10 +774,12 @@ def validate_dataset(
     errors, warnings = compose_validation_report(result, rules.table, report,
                                                  include_details)
     extras = {"sketches": sketches, "violation_counts": counts, **extras}
-    if mode == "write":
+    if mode == "write" and return_findings_mat:
         # the materialized findings blocks (still alive in plasma) — an
-        # in-process caller (resumable's group phase) can consume them
-        # directly instead of reading the just-persisted parquet back
+        # in-process caller (resumable's group phase) consumes them
+        # directly instead of reading the just-persisted parquet back.
+        # Opt-in: attaching them unconditionally would pin every findings
+        # block in the object store for the lifetime of the run object.
         extras["findings_mat"] = mat
     return ValidationRun(table=rules.table, eval_result=result, errors=errors,
                          warnings=warnings, report=report, colstats=colstats,

@@ -205,3 +205,79 @@ def test_concurrent_partition_failure_propagates_then_resumes(
     mdir = os.path.join(out, "manifests")
     names = {f for f in os.listdir(mdir) if f.endswith(".json")}
     assert len([n for n in names if not n.startswith("_")]) == 4
+
+
+def test_resumable_missing_index_col_big_target_ref(ray_session, tmp_path,
+                                                    monkeypatch):
+    """Resumable analogue of the one-shot missing-index-col test (advice
+    r4, medium): turns WITHOUT the sequence index column + a referential
+    target too big to broadcast.  The schema guard disables the fused
+    group path (spec becomes None); _run_group_phase must NOT rebuild an
+    unguarded spec and ride the empty gpart exchange — the standalone
+    shuffle anti-join must still report the orphan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import crn_meta_validate_ray.pipelines.transcripts as tr
+
+    turns = pa.table({
+        "conv_id": ["c1", "c1", "orphan_x", "c2"],
+        "role": ["user", "assistant", "user", "user"],
+        "text": ["a", "b", "c", "d"],
+    })
+    convs = pa.table({"conv_id": ["c1", "c2", "c3"]})
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    pq.write_table(turns.slice(0, 2), str(tdir / "part-0.parquet"))
+    pq.write_table(turns.slice(2, 2), str(tdir / "part-1.parquet"))
+    pq.write_table(convs, str(tmp_path / "convs.parquet"))
+
+    monkeypatch.setattr(tr, "REF_BROADCAST_MAX_TARGET", 1)
+    out = str(tmp_path / "run")
+    run = run_resumable(str(tdir), str(tmp_path / "convs.parquet"), out,
+                        transcript_rules())
+    counts = run.extras["violation_counts"]
+    ref_cids = [c for c in counts if c.startswith("ref:")]
+    assert ref_cids and counts[ref_cids[0]] == 1  # orphan_x reported
+
+
+def test_resumable_heterogeneous_schema_disables_fused(ray_session,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """One partition file missing the index column: the for_schema guard
+    must see the INTERSECTION of all partition schemas (advice r4, low) —
+    partials from a subset of partitions would under-count — and the
+    big-target referential check must still run standalone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import crn_meta_validate_ray.pipelines.transcripts as tr
+
+    with_idx = pa.table({
+        "conv_id": ["c1", "c1"],
+        "turn_idx": [0, 1],
+        "role": ["user", "assistant"],
+        "text": ["a", "b"],
+    })
+    without_idx = pa.table({
+        "conv_id": ["orphan_x", "c2"],
+        "role": ["user", "user"],
+        "text": ["c", "d"],
+    })
+    convs = pa.table({"conv_id": ["c1", "c2", "c3"]})
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    pq.write_table(with_idx, str(tdir / "part-0.parquet"))
+    pq.write_table(without_idx, str(tdir / "part-1.parquet"))
+    pq.write_table(convs, str(tmp_path / "convs.parquet"))
+
+    monkeypatch.setattr(tr, "REF_BROADCAST_MAX_TARGET", 1)
+    out = str(tmp_path / "run")
+    run = run_resumable(str(tdir), str(tmp_path / "convs.parquet"), out,
+                        transcript_rules())
+    counts = run.extras["violation_counts"]
+    ref_cids = [c for c in counts if c.startswith("ref:")]
+    assert ref_cids and counts[ref_cids[0]] == 1
+    # no fused-group false findings from the partial-coverage partition
+    assert not any(c.startswith("seq:") or c.startswith("dup:")
+                   for c in counts if counts[c] > 0)
