@@ -546,32 +546,80 @@ def _gpart_reduce(spec: GroupFuseSpec, n_gpart: int, *parts) -> pa.Table:
         if extras is not None:
             affected |= set(extras.index.get_level_values(0))
         if affected:
+            # endpoint sweep, NOT per-index expansion: a wholesale-
+            # duplicated mega-conversation must not blow this reduce task
+            # by materializing its full index span.  Events are run
+            # endpoints (+1 at mn, -1 past mx) and in-batch dup extras
+            # (+v at idx, -v past idx); each group's event deltas sum to
+            # zero, so ONE global cumsum over (group-rank, position)-
+            # sorted events yields exact per-segment occurrence counts.
+            # Groups are ranked by label so segments arrive already in
+            # the final (grp, idx) report order and only the first
+            # dup_cap detail rows are ever expanded — O(runs log runs)
+            # regardless of index span.
             aff = np.fromiter(affected, dtype=np.int64)
-            sel = rdf[rdf["code"].isin(aff)]
-            lens = (sel["mx"] - sel["mn"] + 1).to_numpy()
-            total = int(lens.sum())
-            cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            flat_i = (np.arange(total) - np.repeat(cum, lens)
-                      + np.repeat(sel["mn"].to_numpy(), lens))
-            flat_c = np.repeat(sel["code"].to_numpy(), lens)
-            cover = pd.Series(1, index=pd.MultiIndex.from_arrays(
-                [flat_c, flat_i])).groupby(level=[0, 1]).sum()
-            tot = cover
+            aff = aff[np.argsort(uniques[aff].astype(str), kind="stable")]
+            rank = np.full(len(uniques), -1, dtype=np.int64)
+            rank[aff] = np.arange(len(aff))
+            rk_all = rank[rdf["code"].to_numpy()]
+            sel_mask = rk_all >= 0
+            rk_sel = rk_all[sel_mask]
+            mn_sel = rdf["mn"].to_numpy()[sel_mask]
+            mx_sel = rdf["mx"].to_numpy()[sel_mask]
+            one = np.ones(len(rk_sel), dtype=np.int64)
+            ev_r = [rk_sel, rk_sel]
+            ev_p = [mn_sel, mx_sel + 1]
+            ev_d = [one, -one]
             if extras is not None:
-                tot = cover.add(extras, fill_value=0)
-            tot = tot[tot >= 2].astype(np.int64)
-            if len(tot):
-                det = tot.reset_index()
-                det.columns = ["code", "idx", "cnt"]
-                det["grp"] = uniques[det["code"].to_numpy()]
-                det = det.sort_values(["grp", "idx"], kind="stable") \
-                    .head(spec.dup_cap)
-                rk = det["grp"].astype(str) + "|" + det["idx"].astype(str)
-                sk = (det["grp"].astype(str) + "|"
-                      + det["idx"].astype(str).str.zfill(_PAD))
-                violations(len(det), ",".join(spec.uniq_columns),
-                           spec.uniq_cid, spec.uniq_severity,
-                           "count=" + det["cnt"].astype(str), rk, sk)
+                ec = rank[extras.index.get_level_values(0).to_numpy()]
+                ei = extras.index.get_level_values(1).to_numpy()
+                ev = extras.to_numpy().astype(np.int64)
+                ev_r += [ec, ec]
+                ev_p += [ei, ei + 1]
+                ev_d += [ev, -ev]
+            er = np.concatenate(ev_r)
+            ep = np.concatenate(ev_p)
+            ed = np.concatenate(ev_d)
+            if len(er):
+                order = np.lexsort((ep, er))
+                er, ep, ed = er[order], ep[order], ed[order]
+                cov = np.cumsum(ed)
+                nxt = np.empty_like(ep)
+                nxt[:-1] = ep[1:]
+                nxt[-1] = ep[-1]
+                same = np.empty(len(er), dtype=bool)
+                same[:-1] = er[1:] == er[:-1]
+                same[-1] = False
+                # segment [ep_j, next event) inside the same group holds
+                # constant coverage cov_j; a group's last event always has
+                # cov 0 (deltas balance) so cross-group gaps never leak
+                seg_len = np.where(same, nxt - ep, 0)
+                segmask = (cov >= 2) & (seg_len > 0)
+                sp = ep[segmask]
+                sl = seg_len[segmask]
+                sc = cov[segmask]
+                sr = er[segmask]
+                start_cum = np.concatenate([[0], np.cumsum(sl)[:-1]])
+                keep = start_cum < spec.dup_cap
+                sp, sc, sr = sp[keep], sc[keep], sr[keep]
+                sl = np.minimum(sl[keep], spec.dup_cap - start_cum[keep])
+                total = int(sl.sum())
+                if total:
+                    cum0 = np.concatenate([[0], np.cumsum(sl)[:-1]])
+                    idx_f = (np.arange(total) - np.repeat(cum0, sl)
+                             + np.repeat(sp, sl))
+                    det = pd.DataFrame({
+                        "grp": uniques[aff[np.repeat(sr, sl)]],
+                        "idx": idx_f,
+                        "cnt": np.repeat(sc, sl),
+                    })
+                    rk = (det["grp"].astype(str) + "|"
+                          + det["idx"].astype(str))
+                    sk = (det["grp"].astype(str) + "|"
+                          + det["idx"].astype(str).str.zfill(_PAD))
+                    violations(len(det), ",".join(spec.uniq_columns),
+                               spec.uniq_cid, spec.uniq_severity,
+                               "count=" + det["cnt"].astype(str), rk, sk)
 
     sk_rows: list[dict] = []
     if spec.ts_col and spec.gap_metric and len(rdf) > 1:

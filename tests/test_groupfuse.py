@@ -192,6 +192,85 @@ def test_fused_flagship_corpus_full_parity(ray_session, tmp_path):
     assert run("fused") == run("exchange")
 
 
+def _inner_table(runs, extras=()):
+    """Build a gpart inner-schema table: runs = [(grp, mn, mx)], extras =
+    [(grp, idx, excess)]."""
+    rows = [{"k": 0, "grp": g, "a": mn, "b": mx, "fts": 0, "lts": 0}
+            for g, mn, mx in runs]
+    rows += [{"k": 1, "grp": g, "a": i, "b": v, "fts": 0, "lts": 0}
+             for g, i, v in extras]
+    from crn_meta_validate_ray.stages.groupfuse import _INNER_SCHEMA
+    return pa.Table.from_pylist(rows, schema=_INNER_SCHEMA)
+
+
+def _reduce_dups(spec, inner):
+    from crn_meta_validate_ray.stages.groupfuse import _gpart_reduce
+    out = _gpart_reduce(spec, 1, inner).to_pylist()
+    return [(r["row_key"], r["value"]) for r in out
+            if r["kind"] == "violation"
+            and r["constraint_id"] == spec.uniq_cid]
+
+
+_UNIQ_SPEC = GroupFuseSpec(table="t", group_col="g", index_col="i",
+                           uniq_cid="unique:g,i", uniq_columns=("g", "i"))
+
+
+def test_gpart_reduce_mega_duplicated_conversation_no_expansion():
+    """A wholesale-duplicated mega-conversation (runs overlapping across
+    many batches over a 50M-index span): the endpoint sweep must emit the
+    first dup_cap duplicates in (grp, idx) order WITHOUT materializing
+    per-index coverage — the old flat expansion allocated 2×span rows and
+    would blow this reduce task at 100× scale (VERDICT r4 item 1)."""
+    span, step = 50_000_000, 100_000
+    runs = [("mega", s, s + step - 1) for s in range(0, span, step)]
+    inner = _inner_table(runs + runs)  # duplicated batch-by-batch
+    dups = _reduce_dups(_UNIQ_SPEC, inner)
+    assert len(dups) == _UNIQ_SPEC.dup_cap
+    assert dups == [(f"mega|{i}", "count=2")
+                    for i in range(_UNIQ_SPEC.dup_cap)]
+
+
+def test_gpart_reduce_sweep_matches_bruteforce():
+    """Randomized runs + in-batch extras across groups (overlaps, adjacent
+    non-overlapping runs, extras-only groups, negative indices): the sweep
+    must equal a per-index brute-force occurrence count."""
+    from collections import Counter
+    rng = np.random.default_rng(17)
+    for trial in range(30):
+        runs, extras = [], []
+        counts: Counter = Counter()
+        for g in range(int(rng.integers(1, 8))):
+            grp = f"g{rng.integers(0, 50):03d}"
+            for _ in range(int(rng.integers(0, 6))):
+                mn = int(rng.integers(-2, 40))
+                mx = mn + int(rng.integers(0, 12))
+                runs.append((grp, mn, mx))
+                for i in range(mn, mx + 1):
+                    counts[(grp, i)] += 1
+            for _ in range(int(rng.integers(0, 3))):
+                i, v = int(rng.integers(-2, 45)), int(rng.integers(1, 4))
+                extras.append((grp, i, v))
+                counts[(grp, i)] += v
+        if not runs and not extras:
+            continue
+        expect = sorted((g, i, c) for (g, i), c in counts.items()
+                        if c >= 2)[:_UNIQ_SPEC.dup_cap]
+        got = _reduce_dups(_UNIQ_SPEC, _inner_table(runs, extras))
+        assert got == [(f"{g}|{i}", f"count={c}") for g, i, c in expect], \
+            f"trial {trial}"
+
+
+def test_gpart_reduce_dup_cap_truncates_mid_segment():
+    """dup_cap smaller than one coverage segment: the partial segment is
+    truncated to exactly the remaining budget, in index order."""
+    from dataclasses import replace
+    spec = replace(_UNIQ_SPEC, dup_cap=5)
+    inner = _inner_table([("a", 0, 99), ("a", 0, 99),
+                          ("b", 0, 3), ("b", 0, 3)])
+    assert _reduce_dups(spec, inner) == [(f"a|{i}", "count=2")
+                                         for i in range(5)]
+
+
 def test_dup_cap_matches_exchange_bound():
     """Fused-vs-exchange violation parity requires the same dup-detail
     truncation bound on both engines (review finding r4)."""
