@@ -34,7 +34,6 @@ Phases:
 
 from __future__ import annotations
 
-import json
 import os
 
 import ray.data as rd
@@ -106,6 +105,7 @@ def run_resumable(
     max_partitions: int | None = None,
     files_per_partition: int = 1,
     partition_concurrency: int = 2,
+    commit_protocol=None,
 ) -> ValidationRun | None:
     """Execute (or resume) a partitioned validation run.  Returns the merged
     ValidationRun, or None when ``max_partitions`` stopped the run early
@@ -124,9 +124,12 @@ def run_resumable(
     interleaved commits are safe; under ``max_partitions`` (kill
     simulation) the loop stays serial so the killed state matches a
     process that died mid-loop."""
+    from crn_meta_validate_ray.state.commit import resolve_protocol
+    proto = resolve_protocol(commit_protocol)
     files = _list_parquet_files(turns_path)
     cs_hash = ConstraintSet().add(rules).content_hash()
-    store = ManifestStore(os.path.join(out_dir, "manifests"))
+    store = ManifestStore(os.path.join(out_dir, "manifests"),
+                          protocol=proto)
 
     # only the per-cell field rules run in phase 1 (plus the fused
     # group-partial emit — see group_fuse below)
@@ -224,7 +227,8 @@ def run_resumable(
                                ref_rules_keys=ref_rules_keys,
                                group_fuse=group_fuse,
                                group_fuse_reduce=False,
-                               return_findings_mat=True)
+                               return_findings_mat=True,
+                               commit_protocol=proto)
         mat = run.extras.pop("findings_mat", None)
         if group_fuse is not None and mat is not None:
             live_splits[pid] = presplit_gparts(mat, num_buckets)
@@ -276,7 +280,7 @@ def run_resumable(
                          gc_conversations, group_fuse, num_buckets,
                          live_splits)
 
-    return merge_run(out_dir, rules)
+    return merge_run(out_dir, rules, commit_protocol=proto)
 
 
 def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
@@ -332,9 +336,10 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
             m = store.load(pid) or {}
             fp = m.get("findings_path") or os.path.join(
                 out_dir, "partitions", pid, "findings")
-            sub = os.path.join(fp, "kind=gpart")
-            if os.path.isdir(sub):
-                gpart_dirs.extend(_list_parquet_files(sub))
+            # committed-files discovery through the protocol: under
+            # MarkerCommit the final path may hold uncommitted attempts
+            gpart_dirs.extend(
+                store.protocol.committed_files(fp, "kind=gpart"))
         disk_parts = None
         if gpart_dirs:
             # the hive kind column lives in the path; _gpart_split treats
@@ -377,24 +382,21 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
         # not a Dataset write job with its seconds of operator fixed cost
         mat = merged.materialize()
         fp = os.path.join(gc_dir, "findings")
-        import shutil
-
         import ray
 
         from crn_meta_validate_ray.pipelines.validate_pipeline import (
             fold_findings, persist_findings, prefold_distributed)
-        shutil.rmtree(fp + ".tmp", ignore_errors=True)
+        staged = store.protocol.stage_dir(fp)
         # persistence tasks launched first, then the prefold wave — two
         # independent consumers of the same plasma blocks run concurrently;
         # one prefold yields both the violation counts and the merged
         # sketches (the previous two filter+fold Dataset jobs each paid
         # operator fixed cost on a stream of a few thousand rows)
-        persist_refs = persist_findings([mat], fp + ".tmp", wait=False)
+        persist_refs = persist_findings([mat], staged, wait=False)
         _, counts, sk = fold_findings(iter(prefold_distributed(mat)), rules)
         sketches_json = sketches_to_json(sk)
         ray.get(persist_refs)
-        shutil.rmtree(fp, ignore_errors=True)
-        os.replace(fp + ".tmp", fp)
+        store.protocol.publish_dir(staged, fp)
     store.commit(gpid, {
         "input_files": sorted(files),
         "constraint_hash": cs_hash,
@@ -403,7 +405,8 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
     })
 
 
-def merge_run(out_dir: str, rules: TableRules) -> ValidationRun:
+def merge_run(out_dir: str, rules: TableRules,
+              commit_protocol=None) -> ValidationRun:
     """Compose the global verdict purely from committed manifests.
 
     Folds ONLY the partitions recorded in the run-level lineage manifest
@@ -411,7 +414,8 @@ def merge_run(out_dir: str, rules: TableRules) -> ValidationRun:
     the current grouping — a manifests/ directory polluted by an earlier
     run with different partitioning cannot double-count; a missing or
     stale expected partition raises instead of silently under-counting."""
-    store = ManifestStore(os.path.join(out_dir, "manifests"))
+    store = ManifestStore(os.path.join(out_dir, "manifests"),
+                          protocol=commit_protocol)
     run_m = store.load(RUN_MANIFEST_ID)
     if run_m is not None:
         expected = run_m.get("partition_files", {})
@@ -471,12 +475,9 @@ def merge_run(out_dir: str, rules: TableRules) -> ValidationRun:
                         n_rows=n_rows,
                         extras={"sketches": sketches,
                                 "violation_counts": counts, **extras})
-    report_path = os.path.join(out_dir, "report.txt")
-    with open(report_path + ".tmp", "w") as f:
-        f.write(report.get_log())
-    os.replace(report_path + ".tmp", report_path)
-    with open(os.path.join(out_dir, "summary.json.tmp"), "w") as f:
-        json.dump({**run.verdict_row(), "violation_counts": counts}, f)
-    os.replace(os.path.join(out_dir, "summary.json.tmp"),
-               os.path.join(out_dir, "summary.json"))
+    store.protocol.put_text(report.get_log(),
+                            os.path.join(out_dir, "report.txt"))
+    store.protocol.put_json(
+        {**run.verdict_row(), "violation_counts": counts},
+        os.path.join(out_dir, "summary.json"))
     return run

@@ -641,6 +641,7 @@ def validate_dataset(
     group_fuse_num_buckets: int | None = None,
     schema_names: "list[str] | None" = None,
     return_findings_mat: bool = False,
+    commit_protocol=None,
 ) -> ValidationRun:
     """Validate one Dataset against a TableRules registry.
 
@@ -721,13 +722,15 @@ def validate_dataset(
         # here costs seconds of operator fixed cost regardless of payload
         # (the findings stream is a small fraction of the input by design
         # — measured 15k rows taking 5 s through the operator path).
-        # Write to a fresh temp dir then swap — a retried/rewritten
-        # partition must not append to (and double-count) a previous
-        # attempt's files.
-        import shutil
+        # Write to a fresh staging attempt then publish through the
+        # output store's CommitProtocol (state/commit.py) — a retried/
+        # rewritten partition must not append to (and double-count) a
+        # previous attempt's files, and a killed run must leave either a
+        # committed findings dir or one invisible to readers.
+        from crn_meta_validate_ray.state.commit import resolve_protocol
+        proto = resolve_protocol(commit_protocol)
         findings_path = os.path.join(out_dir, "findings")
-        tmp_path = findings_path + ".tmp"
-        shutil.rmtree(tmp_path, ignore_errors=True)
+        tmp_path = proto.stage_dir(findings_path)
         persist_refs = persist_findings([mat, *ready], tmp_path,
                                         drop_gpart=drop_gpart, wait=False)
     # distributed pre-fold: chunk-level combine on the cluster so the
@@ -737,15 +740,15 @@ def validate_dataset(
     colstats, counts, sketches = fold_findings(
         iter(prefold_distributed(mat, *ready)), rules, sample_k)
     if mode == "write":
-        import shutil
-
         import ray
         ray.get(persist_refs)
-        shutil.rmtree(findings_path, ignore_errors=True)
-        os.replace(tmp_path, findings_path)
+        proto.publish_dir(tmp_path, findings_path)
         # downstream readers consume the PERSISTED violations (disk state,
-        # valid after this process exits), not the in-memory stream
-        violations = _read_kind(findings_path, "violation")
+        # valid after this process exits), not the in-memory stream —
+        # resolved through the protocol (under MarkerCommit the data lives
+        # in the committed attempt, not at findings_path itself)
+        violations = _read_kind(proto.data_dir(findings_path)
+                                or findings_path, "violation")
     else:
         all_f = mat
         if drop_gpart:
@@ -801,7 +804,16 @@ def compare_verdicts(ds: "rd.Dataset", rules_old: TableRules,
     ``(column, constraint_old, constraint_new, n_invalid_old,
     n_invalid_new, n_null_old, n_null_new, verdict_old, verdict_new,
     change)`` with ``change`` ∈ {unchanged_pass, unchanged_fail, fixed,
-    broken, added, removed}.  Scale: only colstat partials leave the scan
+    broken, added, removed}.
+
+    Caller contract: the delta is per COLUMN — each version contributes at
+    most ONE rule per field.  ``TableRules`` enforces this at construction
+    (two FieldRules on one field raise ``RegistryError``), so a field can
+    never carry two verdicts per version; a hand-built rules object that
+    bypassed the registry would be keyed by its LAST rule for the field
+    (deterministic, but the earlier rule's verdict would not appear).
+
+    Scale: only colstat partials leave the scan
     (≤ 2×|rules| rows per batch, no violation rows); a batch-local combine
     collapses them 64k-at-a-time before a tiny driver fold."""
     validators = [

@@ -9,8 +9,10 @@ re-reading its data:
 - metrics: per-column aggregates (n_rows / n_null / n_invalid / bounded
   distinct-invalid sample), violation counts per constraint;
 - sketch state: base64 partial sketches (HLL / count-min / t-digest);
-- commit marker: manifests are written to a temp path and atomically
-  renamed — a killed run leaves either a complete manifest or none.
+- commit marker: manifests are published through the output store's
+  CommitProtocol (state/commit.py: atomic rename on POSIX, atomic
+  single-object PUT on object stores) — a killed run leaves either a
+  complete manifest or none.
 
 The reference's closest analogue is Streamlit session-state caching with
 file-signature invalidation (app.py:556-572); here lineage is explicit and
@@ -19,7 +21,6 @@ durable.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -89,23 +90,18 @@ LAYOUT_VERSION = 2
 
 
 class ManifestStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, protocol=None):
+        from crn_meta_validate_ray.state.commit import resolve_protocol
         self.root = root
+        self.protocol = resolve_protocol(protocol)
         os.makedirs(root, exist_ok=True)
 
     def path(self, partition_id: str) -> str:
         return os.path.join(self.root, f"{partition_id}.json")
 
     def load(self, partition_id: str) -> dict | None:
-        p = self.path(partition_id)
-        if not os.path.exists(p):
-            return None
-        try:
-            with open(p) as f:
-                return json.load(f)
-        except (json.JSONDecodeError, OSError):
-            # a torn/unreadable manifest is treated as absent → recompute
-            return None
+        # a torn/unreadable manifest is treated as absent → recompute
+        return self.protocol.get_json(self.path(partition_id))
 
     def is_valid(self, partition_id: str, input_files: list[str],
                  constraint_hash: str) -> bool:
@@ -124,10 +120,7 @@ class ManifestStore:
         payload["layout_version"] = LAYOUT_VERSION
         payload["committed"] = True
         payload["committed_at"] = time.time()
-        tmp = self.path(partition_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, self.path(partition_id))
+        self.protocol.put_json(payload, self.path(partition_id))
 
     def all_manifests(self) -> list[dict]:
         out = []
