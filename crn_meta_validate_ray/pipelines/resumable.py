@@ -217,9 +217,21 @@ def run_resumable(
     # read from their committed kind=gpart files as before.
     live_splits: dict = {}
 
-    def _run_partition(pid: str, group: list[str]) -> None:
+    def _run_partition(pid: str, group: list[str],
+                       presplit_ready=None) -> None:
         part_dir = os.path.join(out_dir, "partitions", pid)
         ds = rd.read_parquet(group)
+
+        def _on_materialized(mat) -> None:
+            # fires right after the fused pass materializes, BEFORE the
+            # partition's own prefold / persistence tail: once every
+            # partition has registered its gpart presplit the cross-
+            # partition group phase launches and overlaps those tails
+            if group_fuse is not None:
+                live_splits[pid] = presplit_gparts(mat, num_buckets)
+            if presplit_ready is not None:
+                presplit_ready.set()
+
         run = validate_dataset(ds, cell_rules, mode="write",
                                out_dir=part_dir, batch_size=batch_size,
                                include_details=False,
@@ -227,11 +239,13 @@ def run_resumable(
                                ref_rules_keys=ref_rules_keys,
                                group_fuse=group_fuse,
                                group_fuse_reduce=False,
-                               return_findings_mat=True,
+                               defer_commit=True,
+                               on_materialized=_on_materialized,
                                commit_protocol=proto)
-        mat = run.extras.pop("findings_mat", None)
-        if group_fuse is not None and mat is not None:
-            live_splits[pid] = presplit_gparts(mat, num_buckets)
+        # commit point: findings publish strictly before the manifest
+        # that names them (a crash in between leaves an uncommitted
+        # findings dir + no manifest → the partition recomputes)
+        run.extras.pop("commit_findings")()
         store.commit(pid, {
             "input_files": sorted(group),
             "input_bytes": sum(os.path.getsize(f) for f in group),
@@ -253,12 +267,31 @@ def run_resumable(
             _run_partition(pid, group)
             done += 1
     elif pending:
+        import threading
         from concurrent.futures import (FIRST_EXCEPTION,
                                         ThreadPoolExecutor, wait)
+        events = {pid: threading.Event() for pid, _ in pending}
         workers = max(1, min(partition_concurrency, len(pending)))
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            futs = [ex.submit(_run_partition, pid, group)
+            futs = [ex.submit(_run_partition, pid, group, events[pid])
                     for pid, group in pending]
+            if gc_needed:
+                # launch the cross-partition group phase as soon as every
+                # partition's gpart presplit is registered — the phase's
+                # exchange + persistence then overlaps the partitions'
+                # own persistence/commit tails instead of serializing
+                # after them.  A partition failure before its signal
+                # aborts the wait; the group phase is then skipped and
+                # the failure surfaces below.
+                while not all(e.is_set() for e in events.values()):
+                    fdone, _ = wait(futs, timeout=0.05,
+                                    return_when=FIRST_EXCEPTION)
+                    if any(f.exception() is not None for f in fdone):
+                        break
+                else:
+                    _run_group_phase(store, gpid, files, cs_hash, out_dir,
+                                     rules, pids, gc_conversations,
+                                     group_fuse, num_buckets, live_splits)
             wait(futs, return_when=FIRST_EXCEPTION)
             for f in futs:
                 f.cancel()  # never-started tasks die on first failure
@@ -270,9 +303,10 @@ def run_resumable(
         done = len(pending)
 
     # ---- phase 2: merge the persisted group partials (+ shuffle ref) ----
-    # runs strictly AFTER the partitions: it consumes their committed
-    # gpart output, so there is nothing to overlap (the phase moves only
-    # compressed partials — thousands of rows, never the input)
+    # normally already run overlapped above (its manifest makes this a
+    # no-op); still needed for the serial kill-simulation path, a fully
+    # resumed partition phase, or a prior run killed between the two
+    # phases — those consume committed gpart output from disk
     if not store.is_valid(gpid, files, cs_hash):
         if max_partitions is not None and done >= max_partitions:
             return None

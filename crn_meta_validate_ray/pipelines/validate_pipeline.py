@@ -642,6 +642,8 @@ def validate_dataset(
     schema_names: "list[str] | None" = None,
     return_findings_mat: bool = False,
     commit_protocol=None,
+    defer_commit: bool = False,
+    on_materialized=None,
 ) -> ValidationRun:
     """Validate one Dataset against a TableRules registry.
 
@@ -666,6 +668,13 @@ def validate_dataset(
     table's FULL column list when ``ds`` is a pruned read of only the
     rule-referenced columns — unruled columns contribute only their name to
     the verdict, so their bytes never need to be read.
+
+    ``defer_commit`` (write mode): do NOT wait for the findings
+    persistence or publish the findings dir; instead return a zero-arg
+    closure in ``extras['commit_findings']`` that does both.  The caller
+    overlaps the still-running persistence tasks with other work and owns
+    the commit point (it must call the closure BEFORE committing any
+    manifest that names the findings dir).
     """
     if schema_names is None:
         schema = ds.schema()
@@ -700,6 +709,13 @@ def validate_dataset(
                     ready.append(out)
     else:
         mat = findings.materialize()
+    if on_materialized is not None:
+        # earliest hook on the materialized findings blocks — fires BEFORE
+        # the verdict prefold and the persistence wait, so a caller can
+        # launch work that needs only the blocks (the resumable pipeline
+        # presplits the gpart partials here and starts the cross-partition
+        # group phase once every partition has signalled)
+        on_materialized(mat)
     if group_fuse is not None and group_fuse_reduce:
         # fused group checks: merge the per-batch run partials riding the
         # findings stream (kind='gpart') — launches right off the
@@ -739,16 +755,39 @@ def validate_dataset(
     # no union+materialize barrier re-registering every block
     colstats, counts, sketches = fold_findings(
         iter(prefold_distributed(mat, *ready)), rules, sample_k)
+    commit_findings = None
     if mode == "write":
         import ray
-        ray.get(persist_refs)
-        proto.publish_dir(tmp_path, findings_path)
-        # downstream readers consume the PERSISTED violations (disk state,
-        # valid after this process exits), not the in-memory stream —
-        # resolved through the protocol (under MarkerCommit the data lives
-        # in the committed attempt, not at findings_path itself)
-        violations = _read_kind(proto.data_dir(findings_path)
-                                or findings_path, "violation")
+
+        def _commit_findings():
+            ray.get(persist_refs)
+            proto.publish_dir(tmp_path, findings_path)
+
+        if defer_commit:
+            # caller owns the commit point (extras['commit_findings']):
+            # the persistence tasks keep running while the caller overlaps
+            # other work (the resumable pipeline launches the cross-
+            # partition group phase here).  The findings dir is NOT
+            # published until the closure runs, so a crash before it
+            # leaves the partition invisible to readers, exactly like a
+            # crash mid-persist.  Violations come from the in-memory
+            # stream (the persisted dir does not exist yet).
+            commit_findings = _commit_findings
+            all_f = mat
+            if drop_gpart:
+                all_f = all_f.filter(expr="kind != 'gpart'")
+            for extra in ready:
+                all_f = all_f.union(extra)
+            violations = all_f.filter(expr="kind == 'violation'")
+        else:
+            _commit_findings()
+            # downstream readers consume the PERSISTED violations (disk
+            # state, valid after this process exits), not the in-memory
+            # stream — resolved through the protocol (under MarkerCommit
+            # the data lives in the committed attempt, not at
+            # findings_path itself)
+            violations = _read_kind(proto.data_dir(findings_path)
+                                    or findings_path, "violation")
     else:
         all_f = mat
         if drop_gpart:
@@ -784,6 +823,8 @@ def validate_dataset(
         # Opt-in: attaching them unconditionally would pin every findings
         # block in the object store for the lifetime of the run object.
         extras["findings_mat"] = mat
+    if commit_findings is not None:
+        extras["commit_findings"] = commit_findings
     return ValidationRun(table=rules.table, eval_result=result, errors=errors,
                          warnings=warnings, report=report, colstats=colstats,
                          n_rows=n_rows, violations=violations,
