@@ -241,6 +241,37 @@ def test_resumable_missing_index_col_big_target_ref(ray_session, tmp_path,
     assert ref_cids and counts[ref_cids[0]] == 1  # orphan_x reported
 
 
+def test_crash_after_group_phase_before_partition_commit(corpus, tmp_path):
+    """The overlapped group phase can commit its manifest BEFORE a
+    partition commits its own (both run concurrently).  A crash in that
+    window leaves _groupcheck valid but a partition manifest missing —
+    resume must recompute only that partition, and the already-committed
+    group verdict stays correct because the recomputed partition emits
+    identical (deterministic) gpart partials."""
+    out = str(tmp_path / "run")
+    rules = transcript_rules()
+    first = run_resumable(corpus["turns_dir"], corpus["conversations"], out,
+                          rules)
+    mdir = os.path.join(out, "manifests")
+    parts = sorted(f for f in os.listdir(mdir)
+                   if f.endswith(".json") and not f.startswith("_"))
+    # simulate the crash window: drop one partition manifest, keep the
+    # committed _groupcheck + _run manifests
+    os.remove(os.path.join(mdir, parts[1]))
+    with pytest.raises(ValueError, match="lineage-stale"):
+        merge_run(out, rules)  # half-committed state is not mergeable
+    gc_mtime = os.path.getmtime(os.path.join(mdir, "_groupcheck.json"))
+    run = run_resumable(corpus["turns_dir"], corpus["conversations"], out,
+                        rules)
+    # group phase was NOT recomputed (its manifest is still valid) ...
+    assert os.path.getmtime(os.path.join(mdir, "_groupcheck.json")) \
+        == gc_mtime
+    # ... and the merged verdict matches the pre-crash run exactly
+    assert (run.errors, run.warnings, run.n_rows) == \
+        (first.errors, first.warnings, first.n_rows)
+    assert run.extras["violation_counts"] == first.extras["violation_counts"]
+
+
 def test_resumable_heterogeneous_schema_disables_fused(ray_session,
                                                        tmp_path,
                                                        monkeypatch):
