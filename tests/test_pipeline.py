@@ -165,6 +165,25 @@ def test_missing_and_extra_columns_V7_V8(ray_session):
     assert run.errors == 1
 
 
+def test_write_mode_findings_mat_is_opt_in(ray_session, tmp_path):
+    """extras['findings_mat'] pins the materialized findings blocks in the
+    object store for the lifetime of the run object, so write mode attaches
+    it only when the caller asks (the resumable group phase consumes it);
+    every other write-mode caller must get a run WITHOUT the pin."""
+    t = pa.table({"pk": [1, 2], "req_enum": ["a", "zzz"],
+                  "opt_str": ["x", None], "req_missing_col": ["ok", "ok"],
+                  "opt_missing_col": ["z", "z"]})
+    run = validate_dataset(rd.from_arrow(t), _mini_rules(),
+                           mode="write", out_dir=str(tmp_path / "w1"))
+    assert "findings_mat" not in run.extras
+    run2 = validate_dataset(rd.from_arrow(t), _mini_rules(),
+                            mode="write", out_dir=str(tmp_path / "w2"),
+                            return_findings_mat=True)
+    assert run2.extras["findings_mat"]
+    # the opt-in must not change the verdict
+    assert (run.errors, run.warnings) == (run2.errors, run2.warnings)
+
+
 def test_all_null_is_global_not_per_partition_V6(ray_session):
     """A column all-null in one block but not globally must be partial-null
     (two-phase aggregation; reference utils/validate_core.py:232-236)."""
