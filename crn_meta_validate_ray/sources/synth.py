@@ -201,7 +201,13 @@ def write_corpus(spec: CorpusSpec, out_dir: str, files: int = 4) -> dict:
     """Write the corpus as multi-file Parquet (turns sharded by conversation
     ranges → a file is a resumable partition). Returns paths + expectations."""
     turns, convs, expected = make_corpus(spec)
-    os.makedirs(os.path.join(out_dir, "turns"), exist_ok=True)
+    turns_dir = os.path.join(out_dir, "turns")
+    os.makedirs(turns_dir, exist_ok=True)
+    # a re-write with fewer shards must not leave a previous corpus's extra
+    # part files behind (readers glob the directory → blended corpora)
+    for f in os.listdir(turns_dir):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            os.remove(os.path.join(turns_dir, f))
     n = turns.num_rows
     # shard on row ranges aligned to conversation boundaries where possible
     bounds = np.linspace(0, n, files + 1).astype(int)

@@ -165,6 +165,21 @@ def test_missing_and_extra_columns_V7_V8(ray_session):
     assert run.errors == 1
 
 
+def test_write_corpus_rewrite_clears_stale_shards(tmp_path):
+    """Re-writing a corpus into the same directory with fewer shards must
+    remove the previous write's extra part files — readers glob the turns
+    directory, so a stale shard silently blends two corpora (observed as
+    phantom referential orphans in a 'clean' corpus)."""
+    import os
+
+    out = str(tmp_path / "c")
+    write_corpus(CorpusSpec(n_convs=8, inject=()), out, files=3)
+    info = write_corpus(CorpusSpec(n_convs=4, inject=()), out, files=1)
+    parts = sorted(f for f in os.listdir(info["turns_dir"])
+                   if f.endswith(".parquet"))
+    assert parts == ["part-00000.parquet"]
+
+
 def test_write_mode_findings_mat_is_opt_in(ray_session, tmp_path):
     """extras['findings_mat'] pins the materialized findings blocks in the
     object store for the lifetime of the run object, so write mode attaches
