@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import csv
 import io
+import os
 import re
 from dataclasses import dataclass
 from statistics import median
@@ -260,5 +261,10 @@ def csv_to_parquet(csv_paths: list[str], out_dir: str,
         return t
 
     out = normalize_stage(ds.map_batches(stringify, batch_format="pyarrow"))
+    # the writer names files per-run: a re-run into a non-empty directory
+    # would blend old and new output (and the count below reads the dir)
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
     out.write_parquet(out_dir)
     return rd.read_parquet(out_dir).count()

@@ -14,6 +14,9 @@
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -75,5 +78,11 @@ def write_sanitized(ds: "rd.Dataset", rules: TableRules, out_dir: str,
     if missing:
         out = out.map_batches(complete, batch_format="pyarrow",
                               zero_copy_batch=True)
+    # the parquet writer names files per-run, so a re-run into the same
+    # directory would BLEND old and new output; clear a stale local dir
+    # first (no-op for object-store URIs — route those through
+    # state/commit.py's MarkerCommit instead)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
     out.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
     return True

@@ -117,3 +117,6 @@ def test_csv_to_parquet_job(ray_session, tmp_path):
     vals = {r["a"]: r["b"] for r in rows}
     # null-like cells normalized to the sentinel, all columns string-typed
     assert vals == {"1": "NA", "2": "NA", "3": "x"}
+    # re-running into the same directory must replace, not blend (the
+    # writer names files per-run, and the returned count reads the dir)
+    assert csv_to_parquet([str(p)], str(tmp_path / "out")) == 3

@@ -246,6 +246,11 @@ def test_clean_corpus_passes_V15(ray_session, tmp_path):
                            run.errors)
     out = rd.read_parquet(str(tmp_path / "sanitized"))
     assert out.count() == run.n_rows
+    # a re-run into the same sanitized dir replaces rather than blends
+    assert write_sanitized(rd.read_parquet(info["turns_dir"]),
+                           transcript_rules(), str(tmp_path / "sanitized"),
+                           run.errors)
+    assert rd.read_parquet(str(tmp_path / "sanitized")).count() == run.n_rows
 
 
 def test_string_typed_corpus_with_V3(ray_session, tmp_path):
