@@ -198,8 +198,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # -> recursive min-label closure.  Used by BOTH dedup-cluster oracles so a
 # threshold/tokenizer change cannot make them silently disagree (the engine
 # analogue is stages/dedup.ngram_jaccard_exact_pairs + stages/graph).
+# g/ex/p/e are MATERIALIZED and the pair join is a posting-list equi-join
+# (explode grams, join on gram, count = |intersection| since grams are
+# per-doc distinct; |union| = |A|+|B|-inter): the naive quadratic
+# `g a JOIN g b ON a.doc_id < b.doc_id` with list_intersect ran >40 min
+# single-threaded inside the recursive CTE at sf0.1's 5k docs, while this
+# form only touches doc pairs that share a gram and parallelizes.
 _JACCARD_CLUSTER_CTE = r"""
-            WITH RECURSIVE g AS (
+            WITH RECURSIVE g AS MATERIALIZED (
                 SELECT doc_id, list_distinct(list_transform(
                     generate_series(1, greatest(len(toks) - 2,
                         CASE WHEN len(toks) > 0 AND len(toks) < 3
@@ -212,12 +218,20 @@ _JACCARD_CLUSTER_CTE = r"""
                              regexp_extract_all(coalesce(text, ''), '\S+')
                                  AS toks
                       FROM documents)
-            ), p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM g a JOIN g b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-                      / len(list_distinct(a.grams || b.grams)) >= 0.5
-            ), e AS (
+            ), ex AS MATERIALIZED (
+                SELECT doc_id, unnest(grams) AS gram FROM g
+            ), p AS MATERIALIZED (
+                SELECT j.id_a, j.id_b
+                FROM (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                             count(*) AS inter
+                      FROM ex x JOIN ex y
+                        ON x.gram = y.gram AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2) j
+                JOIN g ga ON ga.doc_id = j.id_a
+                JOIN g gb ON gb.doc_id = j.id_b
+                WHERE j.inter::DOUBLE
+                      / (len(ga.grams) + len(gb.grams) - j.inter) >= 0.5
+            ), e AS MATERIALIZED (
                 SELECT id_a AS u, id_b AS v FROM p
                 UNION ALL SELECT id_b, id_a FROM p
             ), r(u, v) AS (
@@ -917,7 +931,7 @@ def oracle_sql() -> dict[str, str]:
               ON d.doc_id = k.keep
         """,
         "jaccard_pairs_documents": r"""
-            WITH g AS (
+            WITH g AS MATERIALIZED (
                 SELECT doc_id, list_distinct(list_transform(
                     generate_series(1, greatest(len(toks) - 2,
                         CASE WHEN len(toks) > 0 AND len(toks) < 3
@@ -930,14 +944,22 @@ def oracle_sql() -> dict[str, str]:
                              regexp_extract_all(coalesce(text, ''), '\S+')
                                  AS toks
                       FROM documents)
+            ), ex AS MATERIALIZED (
+                SELECT doc_id, unnest(grams) AS gram FROM g
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
-                         / len(list_distinct(a.grams || b.grams)), 6)
+            SELECT j.id_a, j.id_b,
+                   round(j.inter::DOUBLE
+                         / (len(ga.grams) + len(gb.grams) - j.inter), 6)
                        AS jaccard
-            FROM g a JOIN g b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-                  / len(list_distinct(a.grams || b.grams)) >= 0.5
+            FROM (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                         count(*) AS inter
+                  FROM ex x JOIN ex y
+                    ON x.gram = y.gram AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2) j
+            JOIN g ga ON ga.doc_id = j.id_a
+            JOIN g gb ON gb.doc_id = j.id_b
+            WHERE j.inter::DOUBLE
+                  / (len(ga.grams) + len(gb.grams) - j.inter) >= 0.5
         """,
         "dedup_clusters_documents": _JACCARD_CLUSTER_CTE + """
             SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u
