@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from crn_meta_validate_ray.stages.common import pd_to_arrow
+
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -304,7 +306,7 @@ def pivot_events(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype("int64")
     out["day"] = out["day"].astype(str)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pd_to_arrow(out)
 
 
 def distinct_counts_events(sf_dir: str):
@@ -359,7 +361,7 @@ def csv_roundtrip_events(sf_dir: str):
         n=("event_id", "size"), sum_value=("value", "sum")).reset_index()
     agg["n"] = agg["n"].astype("int64")
     agg["sum_value"] = agg["sum_value"].round(4)
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    return pd_to_arrow(agg)
 
 
 def top_orders_per_customer(sf_dir: str):
@@ -1602,7 +1604,7 @@ def drift_psi_events(sf_dir: str):
                             "side": side, "bucket": bucket})
         g = out.groupby(["event_type", "side", "bucket"], sort=False) \
             .size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd_to_arrow(g)
 
     agg = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True) \
@@ -2056,7 +2058,7 @@ def jsonl_roundtrip_documents(sf_dir: str):
         g = df.groupby("lang_p", sort=False).agg(
             n_docs=("n_chars", "size"), n_chars=("n_chars", "sum")) \
             .reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd_to_arrow(g)
 
     agg = ds.map_batches(census, batch_format="pyarrow",
                          zero_copy_batch=True) \

@@ -33,6 +33,8 @@ from dataclasses import dataclass, field as dc_field
 
 import pyarrow as pa
 
+from crn_meta_validate_ray.stages.common import pd_to_arrow
+
 import ray.data as rd
 
 # read_parquet's path resolution imports fsspec.implementations.http on
@@ -878,7 +880,7 @@ def compare_verdicts(ds: "rd.Dataset", rules_old: TableRules,
         out = (df.groupby(["version", "column", "constraint_id"],
                           sort=False, as_index=False)
                [["n_rows", "n_null", "n_invalid"]].sum())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pd_to_arrow(out)
 
     partials = (ds.map_batches(dual, batch_format="pyarrow",
                                batch_size=batch_size, zero_copy_batch=True)

@@ -58,6 +58,19 @@ def as_i64(t: pa.Table, col: str) -> pa.Array:
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
+def pd_to_arrow(df: "pd.DataFrame", schema: pa.Schema | None = None,
+                preserve_index: bool = False) -> pa.Table:
+    """``pa.Table.from_pandas`` WITHOUT the ``b'pandas'`` schema metadata.
+    pyarrow schemas carrying that metadata are unhashable (``hash(schema)``
+    raises ``unhashable type: 'dict'``), which defeats Ray Data's
+    ``unify_schemas`` set-based early-exit and logs a warning per block
+    pair ("Failed to hash the schemas") — use this for every pandas →
+    Arrow block the engine hands back to Ray Data."""
+    t = pa.Table.from_pandas(df, schema=schema,
+                             preserve_index=preserve_index)
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def _mix64(h: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — full-avalanche mixing of an int64 vector."""
     h = h.astype(np.uint64, copy=True)
@@ -212,7 +225,7 @@ def _reduce_bucket(bucket_fn, batch_format: str, empty_block: pa.Table,
         out = bucket_fn(t.to_pandas())
         if isinstance(out, pa.Table):  # fns may return Arrow directly
             return out
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pd_to_arrow(out)
     return bucket_fn(t)
 
 

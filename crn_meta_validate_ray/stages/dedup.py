@@ -33,7 +33,8 @@ from crn_meta_validate_ray.functions.hashing import (
     hamming64,
     simhash64,
 )
-from crn_meta_validate_ray.stages.common import drop_duplicate_rows, grouped_map
+from crn_meta_validate_ray.stages.common import (drop_duplicate_rows,
+                                                  grouped_map, pd_to_arrow)
 from crn_meta_validate_ray.functions.text import (
     batch_word_gram_hashes,
     char_shingles,
@@ -267,8 +268,7 @@ def _verify_pairs_driver(pairs: "rd.Dataset", sigrows: "rd.Dataset",
     hit = sims >= threshold
     out = pr[hit].reset_index(drop=True)
     out["jaccard"] = sims[hit]
-    return rd.from_arrow(pa.Table.from_pandas(out, schema=empty.schema,
-                                              preserve_index=False))
+    return rd.from_arrow(pd_to_arrow(out, schema=empty.schema))
 
 
 def _attach_verify(pairs: "rd.Dataset", sigrows: "rd.Dataset",
@@ -312,9 +312,8 @@ def _attach_verify(pairs: "rd.Dataset", sigrows: "rd.Dataset",
                 columns={"sig": "sig_a", "grams": "grams_a"}), on="key")
         # explicit schema: an empty/all-empty-list frame must not degrade
         # to null-typed columns (union downstream needs list<int64>)
-        return pa.Table.from_pandas(m[["id_a", "id_b", "sig_a", "grams_a"]],
-                                    schema=attach_schema,
-                                    preserve_index=False)
+        return pd_to_arrow(m[["id_a", "id_b", "sig_a", "grams_a"]],
+                           schema=attach_schema)
 
     def verify_b(df: pd.DataFrame) -> pd.DataFrame:
         sig = df[df["is_sig"]]
@@ -749,7 +748,7 @@ def simhash_pairs(ds: "rd.Dataset", *, text_col: str = "text",
         # candidate stream is small (the common case — pairs, not docs)
         df = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"],
                                               keep="first")
-        cand = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        cand = rd.from_arrow(pd_to_arrow(df))
     else:
         cand = drop_duplicate_rows(cand, ["id_a", "id_b"])
     out = cand.filter(expr="id_a >= 0") \

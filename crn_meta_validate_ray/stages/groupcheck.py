@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from crn_meta_validate_ray.registry import SeqRule, TableRules, UniqueRule
-from crn_meta_validate_ray.stages.common import grouped_map
+from crn_meta_validate_ray.stages.common import grouped_map, pd_to_arrow
 from crn_meta_validate_ray.stages.sketch import sketch_row
 from crn_meta_validate_ray.stages.validate import FINDINGS_SCHEMA, _PAD
 from crn_meta_validate_ray.state.sketches import TDigest
@@ -166,8 +166,8 @@ def _stage_a_reduce(fn, empty: pa.Table, *parts):
     parts = [p for p in parts if p is not None and p.num_rows]
     t = pa.concat_tables(parts) if parts else empty
     ship_df, kept_df = fn(t.to_pandas())
-    return (pa.Table.from_pandas(ship_df, preserve_index=False),
-            pa.Table.from_pandas(kept_df, preserve_index=False))
+    return (pd_to_arrow(ship_df),
+            pd_to_arrow(kept_df))
 
 
 def _extract_groups(grps: list, kept: pa.Table):
@@ -575,11 +575,9 @@ def group_check_findings(
                                          if t is not None and t.num_rows],
                             ignore_index=True)
     if len(shipped) <= driver_merge_max_rows:
-        merged_tbl = pa.Table.from_pandas(merge_fn(shipped),
-                                          preserve_index=False)
+        merged_tbl = pd_to_arrow(merge_fn(shipped))
         return rd.from_arrow(conv(merged_tbl))
     # degenerate corpus (≈ every group violating): distributed merge
-    part = rd.from_arrow(pa.Table.from_pandas(shipped,
-                                              preserve_index=False))
+    part = rd.from_arrow(pd_to_arrow(shipped))
     merged = grouped_map(part, ["grp"], merge_fn, num_buckets=None)
     return merged.map_batches(conv, batch_format="pyarrow")

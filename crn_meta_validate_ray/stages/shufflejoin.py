@@ -39,6 +39,7 @@ import ray.data as rd
 from crn_meta_validate_ray.stages.common import (DEFAULT_NUM_BUCKETS,
                                                  _split_block,
                                                  flatten_parts,
+                                                 pd_to_arrow,
                                                  resolve_num_buckets,
                                                  split_exchange)
 
@@ -142,7 +143,7 @@ def _join_bucket(left_on, right_on, how, suffix, post, n_left,
         out = post(out)
         if isinstance(out, pa.Table):
             return out
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pd_to_arrow(out)
     if out_schema is not None:
         # pin every bucket to one schema: unmatched left rows promote
         # right ints to float64-with-NaN in pandas; casting back restores
@@ -154,9 +155,8 @@ def _join_bucket(left_on, right_on, how, suffix, post, n_left,
             # force plain all-None objects
             if pa.types.is_null(f.type) and f.name in out.columns:
                 out[f.name] = pd.Series([None] * len(out), dtype=object)
-        return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
-    return pa.Table.from_pandas(out, preserve_index=False)
+        return pd_to_arrow(out, schema=out_schema)
+    return pd_to_arrow(out)
 
 
 def hash_join(

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from crn_meta_validate_ray.stages.common import pd_to_arrow
+
 import ray
 import ray.data as rd
 
@@ -84,8 +86,8 @@ def _merge_topk_partials(partials: "rd.Dataset", k: int) -> "rd.Dataset":
     topk["rank"] = topk.groupby("query_idx", sort=False).cumcount() \
         .astype(np.int32)
     import ray.data as _rd
-    return _rd.from_arrow(pa.Table.from_pandas(
-        topk[["query_idx", "rank", "vec_id", "score"]], preserve_index=False))
+    return _rd.from_arrow(pd_to_arrow(
+        topk[["query_idx", "rank", "vec_id", "score"]]))
 
 
 def knn_brute_force(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
@@ -366,7 +368,7 @@ def _near_dup_lsh(narrow: "rd.Dataset", threshold: float, id_col: str,
         # bounded driver dedupe (pairs, not vectors) — skips one exchange
         df = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"],
                                               keep="first")
-        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        return rd.from_arrow(pd_to_arrow(df))
     return drop_duplicate_rows(cand, ["id_a", "id_b"])
 
 

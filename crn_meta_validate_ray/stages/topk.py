@@ -23,7 +23,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from crn_meta_validate_ray.stages.common import grouped_map
+from crn_meta_validate_ray.stages.common import grouped_map, pd_to_arrow
 
 
 def grouped_topk(
@@ -50,9 +50,7 @@ def grouped_topk(
                                        kind="stable")
         # dropna=False: a null key is a group of its own (SQL PARTITION BY
         # semantics), not silently discarded
-        return pa.Table.from_pandas(
-            df.groupby(keys, sort=False, dropna=False).head(k),
-            preserve_index=False)
+        return pd_to_arrow(df.groupby(keys, sort=False, dropna=False).head(k))
 
     survivors = ds.map_batches(prune, batch_format="pyarrow",
                                zero_copy_batch=True)

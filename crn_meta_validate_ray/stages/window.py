@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from crn_meta_validate_ray.stages.common import pd_to_arrow
+
 import ray.data as rd
 
 
@@ -51,7 +53,7 @@ def tumbling_aggregate(ds: "rd.Dataset", *, ts_col: str = "ts",
         g = df.groupby([key_col, "window_start"], sort=False)[value_col] \
             .agg(n_events="size", sum_value="sum", min_value="min",
                  max_value="max").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd_to_arrow(g)
 
     parts = win.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -99,7 +101,7 @@ def hopping_aggregate(ds: "rd.Dataset", *, ts_col: str = "ts",
             value_col: np.repeat(vals, n_win)})
         g = df.groupby([key_col, "window_start"], sort=False)[value_col] \
             .agg(n_events="size", sum_value="sum").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd_to_arrow(g)
 
     parts = narrow.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True)

@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -83,6 +84,20 @@ def main(sf_dir: str, only: list[str] | None = None):
         qs = {k: v for k, v in qs.items()
               if any(s in k for s in only)}
     oracles = entrymod.oracle_sql()
+    # oracle_sql() embeds derived-input paths (synthetic transcript corpus,
+    # row-grouped orders file) generated for the DRIVER's fixed sf0.01 gate;
+    # when sweeping another sf, rewrite them to the same derivations of
+    # sf_dir so both sides read identically-scaled inputs.
+    base01 = "/root/testdata/sf0.01"
+    if os.path.realpath(sf_dir) != os.path.realpath(base01):
+        from crn_meta_validate_ray.pipelines.queries import (
+            _rowgrouped_orders, _transcript_corpus)
+        c01, cxx = _transcript_corpus(base01), _transcript_corpus(sf_dir)
+        root01 = os.path.dirname(c01["conversations"])
+        rootxx = os.path.dirname(cxx["conversations"])
+        rg01, rgxx = _rowgrouped_orders(base01), _rowgrouped_orders(sf_dir)
+        oracles = {k: v.replace(root01, rootxx).replace(rg01, rgxx)
+                   for k, v in oracles.items()}
     n_ok = n_bad = 0
     for name, fn in qs.items():
         try:
