@@ -553,10 +553,13 @@ def _gpart_reduce(spec: GroupFuseSpec, n_gpart: int, *parts) -> pa.Table:
             # (+v at idx, -v past idx); each group's event deltas sum to
             # zero, so ONE global cumsum over (group-rank, position)-
             # sorted events yields exact per-segment occurrence counts.
-            # Groups are ranked by label so segments arrive already in
-            # the final (grp, idx) report order and only the first
-            # dup_cap detail rows are ever expanded — O(runs log runs)
-            # regardless of index span.
+            # Groups are ranked by str(label) so segments arrive already
+            # in the final (str(grp), idx) report order and only the
+            # first dup_cap detail rows are ever expanded — O(runs log
+            # runs) regardless of index span.  (Which rows survive a
+            # saturated dup_cap is a per-task convention, not a parity
+            # contract: the exchange path caps per batch in arrival
+            # order — groupcheck.py:119.)
             aff = np.fromiter(affected, dtype=np.int64)
             aff = aff[np.argsort(uniques[aff].astype(str), kind="stable")]
             rank = np.full(len(uniques), -1, dtype=np.int64)
