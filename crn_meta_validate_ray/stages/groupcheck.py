@@ -540,9 +540,7 @@ def group_check_findings(
     # with the fused per-cell pass comes from the caller's thunk thread.
     block_refs = prepped.to_arrow_refs()
     if not block_refs:
-        return rd.from_arrow(conv(
-            pa.Table.from_pandas(merge_fn(_empty_partials()),
-                                 preserve_index=False)))
+        return rd.from_arrow(conv(pd_to_arrow(merge_fn(_empty_partials()))))
     split_task = ray.remote(num_returns=nb)(_split_block)
     reduce_task = ray.remote(num_returns=2)(_stage_a_reduce)
     # NOT block_refs[0]: an empty input file yields a zero-schema empty
