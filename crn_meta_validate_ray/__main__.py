@@ -11,7 +11,11 @@ Commands:
   verdict as one JSON line and the reference-format text report.
 - ``resumable`` — partitioned run with per-partition checkpoint
   manifests; re-running the same command after a kill resumes from the
-  last committed partition.  ``--max-partitions`` simulates a kill.
+  last committed partition.  ``--max-partitions`` simulates a kill;
+  ``--commit-protocol marker`` publishes through the object-store
+  manifest-pointer protocol instead of atomic renames.
+- ``gc`` — reclaim abandoned staging state (uncommitted attempts, torn
+  PUT temps) in a run directory; committed artifacts are never touched.
 """
 
 from __future__ import annotations
@@ -45,8 +49,30 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--max-partitions", type=int, default=None,
                     help="stop after N partitions (simulated kill)")
     pr.add_argument("--batch-size", type=int, default=16384)
+    pr.add_argument("--commit-protocol", choices=["posix", "marker"],
+                    default="posix",
+                    help="output commit protocol: 'posix' (atomic rename; "
+                         "local disk / shared POSIX mount) or 'marker' "
+                         "(PUT/GET/LIST manifest-pointer; object stores)")
+
+    pg = sub.add_parser(
+        "gc", help="reclaim abandoned staging state in a run directory "
+                   "(uncommitted attempts, torn PUT temps); committed "
+                   "artifacts are never touched")
+    pg.add_argument("--out", required=True, help="run directory to sweep")
+    pg.add_argument("--commit-protocol", choices=["posix", "marker"],
+                    default="posix",
+                    help="protocol the run was written with")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "gc":  # pure filesystem sweep — no Ray session needed
+        from crn_meta_validate_ray.pipelines.resumable import gc_run
+        from crn_meta_validate_ray.state.commit import MarkerCommit
+        proto = MarkerCommit() if args.commit_protocol == "marker" else None
+        removed = gc_run(args.out, commit_protocol=proto)
+        print(json.dumps({"removed": removed}))
+        return 0
 
     import ray
     if not ray.is_initialized():
@@ -71,11 +97,14 @@ def main(argv: list[str] | None = None) -> int:
         rc = 0 if run.passed else 1
     elif args.cmd == "resumable":
         from crn_meta_validate_ray.pipelines.resumable import run_resumable
+        from crn_meta_validate_ray.state.commit import MarkerCommit
+        proto = MarkerCommit() if args.commit_protocol == "marker" else None
         run = run_resumable(args.turns, args.conversations, args.out,
                             transcript_rules(),
                             batch_size=args.batch_size,
                             files_per_partition=args.files_per_partition,
-                            max_partitions=args.max_partitions)
+                            max_partitions=args.max_partitions,
+                            commit_protocol=proto)
         if run is None:
             print(json.dumps({"stopped_early": True,
                               "resume": "re-run the same command"}))

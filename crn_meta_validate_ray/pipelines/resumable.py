@@ -439,6 +439,37 @@ def _run_group_phase(store: ManifestStore, gpid: str, files: list[str],
     })
 
 
+def gc_run(out_dir: str, commit_protocol=None) -> list[str]:
+    """Reclaim abandoned staging state across a run directory: uncommitted
+    ``_attempt-*`` prefixes / ``.tmp`` staging dirs under every findings
+    artifact, plus torn single-object PUT temps (``*.put-*`` /
+    file-level ``*.tmp``) next to manifests and reports.  Committed data
+    is never touched — readers resolve through markers/manifests, so this
+    is safe whenever no writer is active on the run (e.g. after
+    ``merge_run``, or before resuming a killed run).  Returns the paths
+    removed; idempotent."""
+    from crn_meta_validate_ray.state.commit import resolve_protocol
+    proto = resolve_protocol(commit_protocol)
+    removed: list[str] = []
+    part_root = os.path.join(out_dir, "partitions")
+    art_dirs = [os.path.join(out_dir, "groupcheck", "findings")]
+    if os.path.isdir(part_root):
+        art_dirs += [os.path.join(part_root, pid, "findings")
+                     for pid in sorted(os.listdir(part_root))]
+    for d in art_dirs:
+        removed.extend(proto.gc(d))
+    for root in (out_dir, os.path.join(out_dir, "manifests")):
+        if not os.path.isdir(root):
+            continue
+        for name in sorted(os.listdir(root)):
+            p = os.path.join(root, name)
+            if os.path.isfile(p) and (".put-" in name
+                                      or name.endswith(".tmp")):
+                os.remove(p)
+                removed.append(p)
+    return removed
+
+
 def merge_run(out_dir: str, rules: TableRules,
               commit_protocol=None) -> ValidationRun:
     """Compose the global verdict purely from committed manifests.

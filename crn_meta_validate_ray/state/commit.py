@@ -83,6 +83,18 @@ class PosixCommit:
     def put_json(self, payload, final: str) -> None:
         self.put_text(json.dumps(payload), final)
 
+    def gc(self, final: str) -> list[str]:
+        """Reclaim abandoned staging state for ``final`` (a directory
+        artifact).  Safe whenever no writer is actively staging ``final``
+        — the committed artifact itself is never touched.  Returns the
+        paths removed."""
+        removed = []
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+            removed.append(tmp)
+        return removed
+
     def put_text(self, text: str, final: str) -> None:
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
@@ -152,6 +164,29 @@ class MarkerCommit(PosixCommit):
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, final)
+
+    def gc(self, final: str) -> list[str]:
+        """Reclaim abandoned ``_attempt-*`` prefixes under ``final``: every
+        attempt NOT named by the current marker is inert garbage (a torn
+        writer, or the pre-recompute attempt a torn manifest abandoned) —
+        readers resolve data only through the marker, so removing them can
+        never affect a committed artifact.  With no marker at all, the
+        path was never committed and ALL attempts are reclaimable.  Safe
+        whenever no writer is actively staging ``final`` (the same
+        single-writer-per-artifact rule every commit protocol already
+        assumes).  Returns the paths removed."""
+        if not os.path.isdir(final):
+            return []
+        m = self._marker(final)
+        keep = m["attempt"] if m else None
+        removed = []
+        for name in sorted(os.listdir(final)):
+            p = os.path.join(final, name)
+            if name.startswith("_attempt-") and name != keep \
+                    and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        return removed
 
 
 _DEFAULT = PosixCommit()

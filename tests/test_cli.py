@@ -55,3 +55,33 @@ def test_cli_resumable_kill_and_resume(cli_corpus):
     assert verdict["errors"] == fv["errors"]
     assert verdict["n_rows"] == fv["n_rows"]
     assert verdict["violation_counts"] == fv["violation_counts"]
+
+
+def test_cli_resumable_marker_protocol_and_gc(cli_corpus):
+    """The object-store protocol is reachable from the job surface, and
+    `gc` (a pure filesystem sweep, no Ray session) reclaims an abandoned
+    attempt without touching the committed run."""
+    import os
+
+    from crn_meta_validate_ray.state.commit import MarkerCommit
+
+    d = tempfile.mkdtemp(prefix="cli_marker_")
+    run = _run(["resumable", "--turns", cli_corpus["turns_dir"],
+                "--conversations", cli_corpus["conversations"],
+                "--out", d, "--commit-protocol", "marker"])
+    assert run.returncode == 1, run.stderr[-500:]
+    verdict = json.loads(run.stdout.strip().splitlines()[-1])
+    assert verdict["n_rows"] > 0
+
+    proto = MarkerCommit()
+    pid = sorted(os.listdir(os.path.join(d, "partitions")))[0]
+    fp = os.path.join(d, "partitions", pid, "findings")
+    assert proto.is_committed_dir(fp)
+    committed = proto.committed_files(fp)
+    abandoned = proto.stage_dir(fp)  # simulated torn writer
+
+    gc = _run(["gc", "--out", d, "--commit-protocol", "marker"])
+    assert gc.returncode == 0, gc.stderr[-500:]
+    removed = json.loads(gc.stdout.strip().splitlines()[-1])["removed"]
+    assert abandoned in removed and not os.path.exists(abandoned)
+    assert proto.committed_files(fp) == committed

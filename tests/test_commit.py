@@ -166,3 +166,73 @@ def test_resumable_end_to_end_marker_protocol(ray_session, tmp_path):
     new_attempt = proto.data_dir(fp)
     assert new_attempt != old_attempt
     assert os.path.isdir(old_attempt)  # garbage, never read
+
+
+@pytest.mark.parametrize("proto", [PosixCommit(), MarkerCommit()],
+                         ids=["posix", "marker"])
+def test_gc_reclaims_abandoned_staging_only(proto, tmp_path):
+    """gc removes every abandoned attempt / staging dir and nothing a
+    reader can reach; the committed artifact reads identically after."""
+    final = str(tmp_path / "findings")
+    s1 = proto.stage_dir(final)
+    with open(os.path.join(s1, "a.parquet"), "w") as f:
+        f.write("1")
+    proto.publish_dir(s1, final)
+    # abandoned writer: staged but never published
+    s2 = proto.stage_dir(final)
+    with open(os.path.join(s2, "b.parquet"), "w") as f:
+        f.write("2")
+    before = proto.committed_files(final)
+    removed = proto.gc(final)
+    assert removed and all(not os.path.exists(p) for p in removed)
+    assert proto.committed_files(final) == before
+    assert [os.path.basename(f) for f in before] == ["a.parquet"]
+    assert proto.gc(final) == []  # idempotent
+
+
+def test_marker_gc_without_marker_reclaims_all_attempts(tmp_path):
+    proto = MarkerCommit()
+    final = str(tmp_path / "never_committed")
+    s = proto.stage_dir(final)
+    with open(os.path.join(s, "x.parquet"), "w") as f:
+        f.write("x")
+    removed = proto.gc(final)
+    assert removed == [s]
+    assert not proto.is_committed_dir(final)
+
+
+def test_gc_run_sweeps_run_layout(tmp_path):
+    """gc_run over a synthetic run directory: abandoned attempts under
+    partition/groupcheck findings and torn PUT temps next to manifests go;
+    committed markers, manifests, data and reports stay."""
+    from crn_meta_validate_ray.pipelines.resumable import gc_run
+
+    proto = MarkerCommit()
+    out = str(tmp_path / "run")
+    keep_files = []
+    for fp in [os.path.join(out, "partitions", "p0", "findings"),
+               os.path.join(out, "groupcheck", "findings")]:
+        s = proto.stage_dir(fp)
+        with open(os.path.join(s, "a.parquet"), "w") as f:
+            f.write("1")
+        proto.publish_dir(s, fp)
+        keep_files.extend(proto.committed_files(fp))
+        proto.stage_dir(fp)  # abandoned second attempt
+    os.makedirs(os.path.join(out, "manifests"))
+    proto.put_json({"ok": 1}, os.path.join(out, "manifests", "p0.json"))
+    torn = os.path.join(out, "manifests", "p0.json.put-deadbeef")
+    with open(torn, "w") as f:
+        f.write("{torn")
+    torn2 = os.path.join(out, "summary.json.tmp")
+    with open(torn2, "w") as f:
+        f.write("{torn")
+    proto.put_text("report", os.path.join(out, "report.txt"))
+
+    removed = gc_run(out, commit_protocol=proto)
+    assert torn in removed and torn2 in removed
+    assert sum("_attempt-" in p for p in removed) == 2
+    assert all(os.path.isfile(f) for f in keep_files)
+    assert proto.get_json(os.path.join(out, "manifests", "p0.json")) \
+        == {"ok": 1}
+    assert os.path.isfile(os.path.join(out, "report.txt"))
+    assert gc_run(out, commit_protocol=proto) == []
