@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rowcounts": q.rowcounts,
         # text analysis / dedup (training-data ops)
         "exact_dedup_documents": q.exact_dedup_documents,
+        "substring_dup_documents": q.substring_dup_documents,
         "token_stats_documents": q.token_stats_documents,
         "fingerprint_documents": q.fingerprint_documents,
         "quality_documents": q.quality_documents,
@@ -393,6 +394,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, min(doc_id) AS keep_id,
                    count(*) AS n_docs
             FROM documents GROUP BY md5(text)
+        """,
+        # cross-doc substring duplication: a k=8 token window duplicated
+        # iff it occurs in >=2 DISTINCT docs; dup_tokens = union length of
+        # marked [pos, pos+8) spans (lead() merges overlaps).  The oracle
+        # compares window STRINGS where the engine compares window hashes
+        # — identical up to negligible 64-bit collisions, the same
+        # convention as jaccard_pairs_documents.
+        "substring_dup_documents": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+                                                  '\S+') AS t
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(t) - 7)) AS pos,
+                       unnest(list_transform(
+                           generate_series(1, len(t) - 7),
+                           i -> array_to_string(t[i:i+7], ' '))) AS win
+                FROM toks WHERE len(t) >= 8
+            ), dup AS (
+                SELECT win FROM w
+                GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+            ), marked AS (
+                SELECT w.doc_id, w.pos,
+                       lead(w.pos) OVER (PARTITION BY w.doc_id
+                                         ORDER BY w.pos) AS nxt
+                FROM w JOIN dup USING (win)
+            ), cov AS (
+                SELECT doc_id, count(*) AS n_dup_windows,
+                       sum(least(coalesce(nxt - pos, 8), 8)) AS dup_tokens
+                FROM marked GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   len(b.t)::BIGINT AS n_tokens,
+                   greatest(len(b.t) - 7, 0)::BIGINT AS n_windows,
+                   coalesce(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   round(coalesce(c.dup_tokens, 0)::DOUBLE
+                         / nullif(len(b.t), 0), 6) AS dup_ratio
+            FROM toks b LEFT JOIN cov c USING (doc_id)
         """,
         "token_stats_documents": rf"""
             SELECT doc_id,

@@ -449,6 +449,19 @@ def exact_dedup_documents(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def substring_dup_documents(sf_dir: str):
+    """Cross-document substring duplication (the suffix-array dedup
+    signal of Lee et al. 2022, stride-1 k-token window construction —
+    stages/substringdup.py): per-doc duplicated-span coverage stats.
+    k=8 so the synthetic corpus's duplicated documents and repeated
+    boilerplate both mark spans at sf scale."""
+    from crn_meta_validate_ray.stages.substringdup import (
+        duplicated_window_stats)
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return duplicated_window_stats(ds, k=8)
+
+
 def token_stats_documents(sf_dir: str):
     """Token counting + quality-adjacent counts (whitespace tokens,
     chars, stopword hits) — all SQL-replicable."""
