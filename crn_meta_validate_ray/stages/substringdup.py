@@ -148,12 +148,17 @@ def _coverage_arrays(mp: np.ndarray, mpos: np.ndarray, k: int, nd: int):
     return n_dup, dup_tokens
 
 
-def _stats_table(ids: np.ndarray, cnt: np.ndarray, n_dup: np.ndarray,
-                 dup_tokens: np.ndarray, k: int) -> pa.Table:
+def _stats_table(ids: pa.Array, cnt: np.ndarray, n_dup: np.ndarray,
+                 dup_tokens: np.ndarray, k: int,
+                 id_col: str = "doc_id") -> pa.Table:
+    """``ids`` is an Arrow array (any id dtype — int, string, ...); the
+    output id column keeps the input name and type."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
     ratio = np.round(
         dup_tokens / np.where(cnt > 0, cnt, 1).astype(np.float64), 6)
     return pa.table({
-        "doc_id": pa.array(ids, type=pa.int64()),
+        id_col: ids,
         "n_tokens": pa.array(cnt, type=pa.int64()),
         "n_windows": pa.array(np.maximum(cnt - k + 1, 0), type=pa.int64()),
         "n_dup_windows": pa.array(n_dup, type=pa.int64()),
@@ -173,7 +178,7 @@ def _broadcast_coverage_fn(text_col: str, id_col: str, k: int, dup_ref):
         import ray
         dup = ray.get(dup_ref) \
             if isinstance(dup_ref, ray.ObjectRef) else dup_ref  # sorted
-        ids = np.asarray(batch[id_col].to_pandas(), dtype=np.int64)
+        ids = batch[id_col]
         g, gp, pos, cnt = _doc_window_hashes(
             batch[text_col].to_pylist(), k)
         gi = g.view(np.int64)
@@ -185,7 +190,7 @@ def _broadcast_coverage_fn(text_col: str, id_col: str, k: int, dup_ref):
             hit = np.zeros(len(gi), dtype=bool)
         n_dup, dup_tokens = _coverage_arrays(gp[hit], pos[hit], k,
                                              len(ids))
-        return _stats_table(ids, cnt, n_dup, dup_tokens, k)
+        return _stats_table(ids, cnt, n_dup, dup_tokens, k, id_col)
 
     return fn
 
@@ -198,11 +203,13 @@ class _WindowRowStage:
         self.text_col, self.id_col, self.k = text_col, id_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pandas(), dtype=np.int64)
         g, gp, pos, _cnt = _doc_window_hashes(
             batch[self.text_col].to_pylist(), self.k)
+        # arrow take keeps the id type (int, string, ...) stable across
+        # batches — an empty batch still emits a typed id column
+        ids = batch[self.id_col].take(pa.array(gp, type=pa.int64()))
         return pa.table({"gram": pa.array(g.view(np.int64)),
-                         "doc_id": pa.array(ids[gp]),
+                         self.id_col: ids,
                          "pos": pa.array(pos)})
 
 
@@ -211,29 +218,32 @@ class _BaseStatsStage:
         self.text_col, self.id_col, self.k = text_col, id_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pandas(), dtype=np.int64)
         _g, _gp, _pos, cnt = _doc_window_hashes(
             batch[self.text_col].to_pylist(), self.k)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
+            self.id_col: ids,
             "n_tokens": pa.array(cnt, type=pa.int64()),
             "n_windows": pa.array(np.maximum(cnt - self.k + 1, 0),
                                   type=pa.int64())})
 
 
-def _coverage_reduce(k: int):
+def _coverage_reduce(k: int, id_col: str):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
+            # keep the id dtype from the (typed) empty exemplar frame
             return pd.DataFrame({
-                "doc_id": pd.Series(dtype=np.int64),
+                id_col: df[id_col].iloc[:0],
                 "n_dup_windows": pd.Series(dtype=np.int64),
                 "dup_tokens": pd.Series(dtype=np.int64)})
-        df = df.sort_values(["doc_id", "pos"], kind="stable")
-        docs = df["doc_id"].to_numpy(dtype=np.int64)
-        uniq, codes = np.unique(docs, return_inverse=True)
+        df = df.sort_values([id_col, "pos"], kind="stable")
+        uniq, codes = np.unique(df[id_col].to_numpy(),
+                                return_inverse=True)
         n_dup, dup_tokens = _coverage_arrays(
             codes, df["pos"].to_numpy(dtype=np.int64), k, len(uniq))
-        return pd.DataFrame({"doc_id": uniq, "n_dup_windows": n_dup,
+        return pd.DataFrame({id_col: uniq, "n_dup_windows": n_dup,
                              "dup_tokens": dup_tokens})
 
     return fn
@@ -282,8 +292,8 @@ def duplicated_window_stats(
         batch_format="pyarrow", zero_copy_batch=True)
     marked = hash_join(windows, dup, left_on="gram", how="semi",
                        num_buckets=num_buckets) \
-        .select_columns(["doc_id", "pos"])
-    coverage = grouped_map(marked, ["doc_id"], _coverage_reduce(k),
+        .select_columns([id_col, "pos"])
+    coverage = grouped_map(marked, [id_col], _coverage_reduce(k, id_col),
                            num_buckets=num_buckets)
     base = narrow.map_batches(
         _BaseStatsStage(text_col, id_col, k),
@@ -293,8 +303,8 @@ def duplicated_window_stats(
         cnt = df["n_tokens"].to_numpy(dtype=np.int64)
         n_dup = df["n_dup_windows"].fillna(0).to_numpy(dtype=np.int64)
         dup_tokens = df["dup_tokens"].fillna(0).to_numpy(dtype=np.int64)
-        return _stats_table(df["doc_id"].to_numpy(dtype=np.int64), cnt,
-                            n_dup, dup_tokens, k)
+        return _stats_table(pa.Array.from_pandas(df[id_col]), cnt,
+                            n_dup, dup_tokens, k, id_col)
 
-    return hash_join(base, coverage, left_on="doc_id", how="left",
+    return hash_join(base, coverage, left_on=id_col, how="left",
                      num_buckets=num_buckets, post=finalize)

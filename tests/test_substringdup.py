@@ -98,3 +98,26 @@ def test_no_duplicates_all_zero(ray_session):
     got = _run(docs, mode="broadcast")
     assert (got["n_dup_windows"] == 0).all()
     assert (got["dup_tokens"] == 0).all()
+
+
+def test_string_ids_both_paths(ray_session):
+    """Non-integer doc ids (e.g. conv_id strings) work on both physical
+    paths and keep their type + name in the output."""
+    docs = {f"c{i:03d}": ("p q r s t u v w " * 2 if i % 2 == 0
+                          else f"only{i} " * 10) for i in range(8)}
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array(list(docs), type=pa.string()),
+        "body": pa.array(list(docs.values()), type=pa.string()),
+    })).repartition(3)
+    a = duplicated_window_stats(ds, text_col="body", id_col="conv_id",
+                                k=K, mode="broadcast").to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    b = duplicated_window_stats(ds, text_col="body", id_col="conv_id",
+                                k=K, mode="keyed").to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert list(a.columns)[0] == "conv_id"
+    assert a["conv_id"].dtype == object
+    ev = a[a.conv_id.isin([f"c{i:03d}" for i in range(0, 8, 2)])]
+    assert (ev["dup_ratio"] == 1.0).all()  # shared text, fully covered
+    assert (a.set_index("conv_id").loc["c001", "n_dup_windows"] == 0)
